@@ -1,0 +1,158 @@
+"""Attention kernel dispatch: XLA einsum vs Pallas TPU flash attention.
+
+Numerics contract (parity with nn/modalities/modules.py:368-410):
+  logits = (q * head_dim**-0.5) @ k^T  + bias  [+ -inf at padding]
+  softmax in float32, output cast back to the compute dtype.
+
+The flash path uses jax's Pallas TPU flash-attention kernel with an additive
+bias (`ab`), which keeps the O(T^2) score matrix in VMEM tiles instead of HBM
+— the reference materializes it (torch `attn = q @ k^T`). Sequences are
+padded up to the kernel block size with fully-masked rows/cols.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e10
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def xla_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    padding_mask: Optional[jnp.ndarray] = None,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """(B, T, H, D) attention via einsum; fp32 softmax."""
+    b, t, h, d = q.shape
+    dtype = q.dtype
+    scale = d**-0.5
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k, preferred_element_type=jnp.float32)
+    logits = logits.astype(jnp.float32)
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    if padding_mask is not None:
+        # padding_mask: (B, T) True = pad
+        logits = jnp.where(padding_mask[:, None, None, :], NEG_INF, logits)
+    probs = jax.nn.softmax(logits, axis=-1)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        probs = probs * keep / (1.0 - dropout_rate)
+    probs = probs.astype(dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+@functools.lru_cache(maxsize=1)
+def _flash_attention_fn():
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        flash_attention,
+    )
+
+    return flash_attention, BlockSizes
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def flash_attention_tpu(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    padding_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Pallas flash attention on (B, T, H, D); pads T to a block multiple."""
+    flash, BlockSizes = _flash_attention_fn()
+    b, t, h, d = q.shape
+    dtype = q.dtype
+    block = 512 if t >= 512 else 128
+    t_pad = _round_up(t, block)
+
+    def pad_t(x):
+        if t_pad == t:
+            return x
+        return jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0), (0, 0)))
+
+    qp, kp, vp = (jnp.swapaxes(pad_t(x), 1, 2) for x in (q, k, v))  # (B,H,T,D)
+
+    ab = None
+    if bias is not None or padding_mask is not None or t_pad != t:
+        ab = jnp.zeros((b, h, t_pad, t_pad), jnp.float32)
+        if bias is not None:
+            bias_b = jnp.broadcast_to(bias.astype(jnp.float32), (b, h, t, t))
+            ab = ab.at[:, :, :t, :t].set(bias_b)
+        key_pad = jnp.zeros((b, t_pad), bool)
+        if t_pad != t:
+            key_pad = key_pad.at[:, t:].set(True)
+        if padding_mask is not None:
+            key_pad = key_pad.at[:, :t].set(key_pad[:, :t] | padding_mask)
+        ab = jnp.where(key_pad[:, None, None, :], NEG_INF, ab)
+
+    block_sizes = BlockSizes(
+        block_q=min(block, t_pad),
+        block_k_major=min(block, t_pad),
+        block_k=min(block, t_pad),
+        block_b=1,
+        block_q_major_dkv=min(block, t_pad),
+        block_k_major_dkv=min(block, t_pad),
+        block_k_dkv=min(block, t_pad),
+        block_q_dkv=min(block, t_pad),
+        block_k_major_dq=min(block, t_pad),
+        block_k_dq=min(block, t_pad),
+        block_q_dq=min(block, t_pad),
+    )
+    out = flash(
+        qp.astype(dtype),
+        kp.astype(dtype),
+        vp.astype(dtype),
+        ab=ab,
+        causal=False,
+        sm_scale=d**-0.5,
+        block_sizes=block_sizes,
+    )
+    out = jnp.swapaxes(out, 1, 2)[:, :t]
+    return out.astype(dtype)
+
+
+def multihead_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    padding_mask: Optional[jnp.ndarray] = None,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Dispatch between XLA and Pallas flash attention.
+
+    auto: flash on TPU for seq >= 1024 with no attention dropout
+    (dropout inside the flash kernel is unsupported; the shipped eval/infer
+    paths are dropout-free, and pretrain student sequences are short).
+    """
+    t = q.shape[1]
+    use_flash = impl == "flash" or (
+        impl == "auto"
+        and _on_tpu()
+        and t >= 1024
+        and (dropout_rate == 0.0 or dropout_rng is None)
+    )
+    if use_flash:
+        return flash_attention_tpu(q, k, v, bias, padding_mask)
+    return xla_attention(q, k, v, bias, padding_mask, dropout_rate, dropout_rng)

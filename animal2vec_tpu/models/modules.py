@@ -1,0 +1,553 @@
+"""Transformer building blocks (flax.linen, feature-last layout).
+
+Covers the reference's nn/modalities/modules.py: AltBlock/AltAttention
+(:272-410), BlockEncoder (:74-108), Decoder1d/2d (:137-243), EncDec blocks
+(:413-603). Differences from the reference are deliberate TPU choices:
+
+* activations are (B, T, C) throughout (no NCHW/transpose dance),
+* the N-layer student/teacher stacks are a single ``lax.scan`` over stacked
+  per-layer params (one compiled block body instead of N unrolled blocks),
+* softmax runs in fp32 regardless of the compute dtype (parity with
+  modules.py:404), LayerNorm statistics in fp32,
+* attention dispatches to a Pallas TPU flash kernel for long sequences
+  (models/attention.py) and to plain XLA einsum attention otherwise.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from animal2vec_tpu.models.attention import multihead_attention
+
+
+default_kernel_init = nn.initializers.xavier_uniform()
+
+
+class Fp32LayerNorm(nn.Module):
+    """LayerNorm with fp32 statistics, cast back to input dtype
+    (fairseq Fp32LayerNorm semantics, consumed at nn/modalities/audio.py:86)."""
+
+    epsilon: float = 1e-5
+    use_affine: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        dtype = x.dtype
+        x32 = x.astype(jnp.float32)
+        mean = x32.mean(axis=-1, keepdims=True)
+        var = x32.var(axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
+        if self.use_affine:
+            scale = self.param("scale", nn.initializers.ones, (x.shape[-1],), jnp.float32)
+            bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],), jnp.float32)
+            y = y * scale + bias
+        return y.astype(dtype)
+
+
+def fp32_instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """Instance norm over the time axis of (B, T, C), fp32 stats, no affine
+    (torch F.instance_norm on BCT as used in nn/data2vec2.py:1041-1044)."""
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(axis=1, keepdims=True)
+    var = x32.var(axis=1, keepdims=True)
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
+def drop_path(
+    rng: jax.Array, x: jnp.ndarray, rate, deterministic: bool
+) -> jnp.ndarray:
+    """Stochastic depth on the residual branch (timm DropPath semantics,
+    consumed at nn/modalities/modules.py:309). ``rate`` may be a traced
+    scalar (per-layer rate inside lax.scan)."""
+    if deterministic:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
+    return jnp.where(mask, x / jnp.maximum(keep, 1e-6), jnp.zeros_like(x))
+
+
+class Mlp(nn.Module):
+    """2-layer GELU MLP (timm Mlp, consumed at modules.py:312-317)."""
+
+    hidden_dim: int
+    out_dim: int
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, kernel_init=default_kernel_init, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = nn.Dense(self.out_dim, dtype=self.dtype, kernel_init=default_kernel_init, name="fc2")(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return x
+
+
+class AltAttention(nn.Module):
+    """Multi-head self-attention with additive (ALiBi) bias
+    (nn/modalities/modules.py:340-410). qkv fused; fp32 softmax."""
+
+    num_heads: int
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    qkv_bias: bool = True
+    dtype: Any = jnp.float32
+    impl: str = "auto"  # "xla" | "flash" | "auto"
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        padding_mask: Optional[jnp.ndarray] = None,
+        bias: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ):
+        b, t, c = x.shape
+        h = self.num_heads
+        qkv = nn.Dense(
+            3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
+            kernel_init=default_kernel_init, name="qkv",
+        )(x)
+        qkv = qkv.reshape(b, t, 3, h, c // h)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, T, H, D)
+        dropout_rng = None
+        if not deterministic and self.attn_drop > 0:
+            dropout_rng = self.make_rng("dropout")
+        out = multihead_attention(
+            q, k, v,
+            bias=bias,
+            padding_mask=padding_mask,
+            dropout_rate=self.attn_drop,
+            dropout_rng=dropout_rng,
+            impl=self.impl,
+        )
+        out = out.reshape(b, t, c)
+        out = nn.Dense(c, dtype=self.dtype, kernel_init=default_kernel_init, name="proj")(out)
+        out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        return out
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockConfig:
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    encoder_dropout: float = 0.0
+    attention_dropout: float = 0.0
+    activation_dropout: float = 0.0
+    post_mlp_drop: float = 0.0
+    norm_eps: float = 1e-5
+    norm_affine: bool = True
+    layer_norm_first: bool = False
+    ffn_targets: bool = True
+    attn_impl: str = "auto"
+
+
+class AltBlock(nn.Module):
+    """Pre/post-LN transformer block returning (x, layer_tap)
+    (nn/modalities/modules.py:272-337). The tap is the per-layer value the
+    teacher averages: the MLP output when ffn_targets else the block output."""
+
+    cfg: BlockConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        padding_mask=None,
+        bias=None,
+        drop_path_rate=0.0,
+        deterministic: bool = True,
+    ):
+        c = self.cfg
+        norm = lambda name: Fp32LayerNorm(epsilon=c.norm_eps, use_affine=c.norm_affine, name=name)
+        attn = AltAttention(
+            num_heads=c.num_heads,
+            attn_drop=c.attention_dropout,
+            proj_drop=c.encoder_dropout,
+            dtype=self.dtype,
+            impl=c.attn_impl,
+            name="attn",
+        )
+        mlp = Mlp(
+            hidden_dim=int(c.dim * c.mlp_ratio),
+            out_dim=c.dim,
+            dropout=c.activation_dropout,
+            dtype=self.dtype,
+            name="mlp",
+        )
+
+        def dp(y):
+            if deterministic:
+                return y
+            return drop_path(self.make_rng("dropout"), y, drop_path_rate, deterministic)
+
+        post_drop = nn.Dropout(c.post_mlp_drop)
+
+        if c.layer_norm_first:
+            x = x + dp(attn(norm("norm1")(x), padding_mask, bias, deterministic))
+            r = t = mlp(norm("norm2")(x), deterministic)
+            x = r + dp(post_drop(t, deterministic=deterministic))
+            if not c.ffn_targets:
+                t = x
+        else:
+            x = x + dp(attn(x, padding_mask, bias, deterministic))
+            r = norm("norm1")(x)
+            t = mlp(r, deterministic)
+            x = norm("norm2")(r + dp(post_drop(t, deterministic=deterministic)))
+            if not c.ffn_targets:
+                t = x
+        return x, t
+
+
+class BlockStack(nn.Module):
+    """N AltBlocks as one lax.scan over stacked params.
+
+    Replaces the unrolled Python loops at nn/data2vec2.py:649-671 (student),
+    :828-844 (teacher) and nn/modalities/modules.py:89-103 (prenet) with a
+    single compiled block body. Returns (x, taps[N, B, T, C]).
+
+    layerdrop (nn/data2vec2.py:650-655): when active, a dropped layer passes
+    x through unchanged and records the incoming x as its tap (the reference
+    drops the tap entirely, which is shape-dynamic; this static variant keeps
+    the regularization effect). Inference is identical (no drop).
+    """
+
+    depth: int
+    cfg: BlockConfig
+    start_drop_path: float = 0.0
+    end_drop_path: float = 0.0
+    layerdrop: float = 0.0
+    remat: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        padding_mask=None,
+        bias=None,
+        deterministic: bool = True,
+        bias_scales: Optional[jnp.ndarray] = None,
+    ):
+        import numpy as np
+
+        dpr = jnp.asarray(
+            np.linspace(self.start_drop_path, self.end_drop_path, self.depth),
+            dtype=jnp.float32,
+        )
+        if bias_scales is None:
+            scales = jnp.ones((self.depth, 1, 1, 1, 1), dtype=jnp.float32)
+        else:
+            # (depth, 1, H, 1, 1) learned per-layer alibi scales
+            # (nn/modalities/base.py:116-135)
+            scales = bias_scales.reshape(self.depth, 1, -1, 1, 1)
+
+        block_cls = AltBlock
+        if self.remat:
+            block_cls = nn.remat(
+                AltBlock,
+                static_argnums=(5,),
+                prevent_cse=False,
+            )
+
+        def body(block, carry, layer_in):
+            x = carry
+            rate, scale = layer_in
+            ab = bias if bias is None else bias * scale.astype(bias.dtype)
+            y, tap = block(x, padding_mask, ab, rate, deterministic)
+            if self.layerdrop > 0 and not deterministic:
+                keep = jax.random.bernoulli(
+                    block.make_rng("layerdrop"), 1.0 - self.layerdrop, ()
+                )
+                y = jnp.where(keep, y, x)
+                tap = jnp.where(keep, tap, x)
+            return y, tap
+
+        scan = nn.scan(
+            body,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True, "layerdrop": True},
+            in_axes=0,
+            length=self.depth,
+        )
+        x, taps = scan(
+            block_cls(cfg=self.cfg, dtype=self.dtype, name="block"), x, (dpr, scales)
+        )
+        return x, taps
+
+
+class PrenetEncoder(nn.Module):
+    """BlockEncoder: optional pre/post norm + dropout + block stack
+    (nn/modalities/modules.py:74-108). Taps are discarded."""
+
+    depth: int
+    cfg: BlockConfig
+    prenet_dropout: float = 0.0
+    layerdrop: float = 0.0
+    start_drop_path: float = 0.0
+    end_drop_path: float = 0.0
+    remat: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, padding_mask=None, bias=None, deterministic: bool = True):
+        c = self.cfg
+        if not c.layer_norm_first:
+            x = Fp32LayerNorm(epsilon=c.norm_eps, use_affine=c.norm_affine, name="norm")(x)
+        x = nn.Dropout(self.prenet_dropout)(x, deterministic=deterministic)
+        x, _ = BlockStack(
+            depth=self.depth,
+            cfg=c,
+            start_drop_path=self.start_drop_path,
+            end_drop_path=self.end_drop_path,
+            layerdrop=self.layerdrop,
+            remat=self.remat,
+            dtype=self.dtype,
+            name="blocks",
+        )(x, padding_mask, bias, deterministic)
+        if c.layer_norm_first:
+            x = Fp32LayerNorm(epsilon=c.norm_eps, use_affine=c.norm_affine, name="norm")(x)
+        return x
+
+
+def conv1d_same(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    stride: int = 1,
+    groups: int = 1,
+    pad: Optional[Tuple[int, int]] = None,
+) -> jnp.ndarray:
+    """Grouped 1-D conv on (B, T, C) with explicit padding.
+
+    kernel: (K, C_in/groups, C_out). pad defaults to torch 'same' for
+    stride 1 and ceil(stride/2) otherwise (ops/conv_arith.py).
+    """
+    from animal2vec_tpu.ops.conv_arith import same_pad_1d, strided_pad_1d
+
+    k = kernel.shape[0]
+    if pad is None:
+        pad = same_pad_1d(k) if stride == 1 else strided_pad_1d(stride)
+    out = jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(stride,),
+        padding=[pad],
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        feature_group_count=groups,
+    )
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+class Conv1dBlockNorm(nn.Module):
+    """conv -> LayerNorm(no affine, fp32) -> GELU, with optional residual —
+    one Decoder1d block (nn/modalities/modules.py:141-157)."""
+
+    out_dim: int
+    kernel: int
+    groups: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_dim = x.shape[-1]
+        kern = self.param(
+            "kernel",
+            nn.initializers.he_normal(),
+            (self.kernel, in_dim // self.groups, self.out_dim),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.out_dim,), jnp.float32)
+        # torch Conv1d(padding=k//2) followed by SamePad(k) (trim last when k
+        # even) == explicit (k//2, k//2 - (k even)) padding.
+        k = self.kernel
+        pad = (k // 2, k // 2 - (1 if k % 2 == 0 else 0))
+        y = conv1d_same(
+            x, kern.astype(self.dtype), bias.astype(self.dtype), 1, self.groups, pad=pad
+        )
+        y = Fp32LayerNorm(use_affine=False, name="norm")(y)
+        return nn.gelu(y, approximate=False)
+
+
+class Decoder1d(nn.Module):
+    """Grouped-conv decoder with residuals + linear projection
+    (nn/modalities/modules.py:137-192)."""
+
+    decoder_dim: int
+    decoder_kernel: int
+    decoder_groups: int
+    decoder_layers: int
+    out_dim: int
+    decoder_residual: bool = True
+    projection_layers: int = 1
+    projection_ratio: float = 2.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        for i in range(self.decoder_layers):
+            y = Conv1dBlockNorm(
+                out_dim=self.decoder_dim,
+                kernel=self.decoder_kernel,
+                groups=self.decoder_groups,
+                dtype=self.dtype,
+                name=f"blocks_{i}",
+            )(x)
+            if self.decoder_residual and residual.shape[-1] == y.shape[-1]:
+                y = y + residual
+            residual = y
+            x = y
+        # projection head (modules.py:166-177)
+        curr = self.decoder_dim
+        layer_idx = 0
+        for i in range(self.projection_layers - 1):
+            nxt = int(curr * self.projection_ratio) if i == 0 else curr
+            x = nn.Dense(nxt, dtype=self.dtype, name=f"proj_{layer_idx}")(x)
+            x = nn.gelu(x, approximate=False)
+            curr = nxt
+            layer_idx += 1
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name=f"proj_{layer_idx}" if layer_idx else "proj")(x)
+        return x
+
+
+class Conv2dBlockNorm(nn.Module):
+    """2-D analogue of Conv1dBlockNorm (nn/modalities/modules.py:202-218)."""
+
+    out_dim: int
+    kernel: int
+    groups: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, C)
+        in_dim = x.shape[-1]
+        kern = self.param(
+            "kernel",
+            nn.initializers.he_normal(),
+            (self.kernel, self.kernel, in_dim // self.groups, self.out_dim),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.out_dim,), jnp.float32)
+        k = self.kernel
+        pad = (k // 2, k // 2 - (1 if k % 2 == 0 else 0))
+        y = jax.lax.conv_general_dilated(
+            x,
+            kern.astype(self.dtype),
+            window_strides=(1, 1),
+            padding=[pad, pad],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.groups,
+        ) + bias
+        y = Fp32LayerNorm(use_affine=False, name="norm")(y)
+        return nn.gelu(y, approximate=False)
+
+
+class Decoder2d(nn.Module):
+    """2-D conv decoder for the image modality
+    (nn/modalities/modules.py:195-243)."""
+
+    decoder_dim: int
+    decoder_kernel: int
+    decoder_groups: int
+    decoder_layers: int
+    out_dim: int
+    h_size: int
+    w_size: int
+    decoder_residual: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (B, T, C), T = h*w
+        b, t, c = x.shape
+        x = x.reshape(b, self.h_size, self.w_size, c)
+        residual = x
+        for i in range(self.decoder_layers):
+            y = Conv2dBlockNorm(
+                out_dim=self.decoder_dim,
+                kernel=self.decoder_kernel,
+                groups=self.decoder_groups,
+                dtype=self.dtype,
+                name=f"blocks_{i}",
+            )(x)
+            if self.decoder_residual and residual.shape[-1] == y.shape[-1]:
+                y = y + residual
+            residual = y
+            x = y
+        x = x.reshape(b, t, -1)
+        return nn.Dense(self.out_dim, dtype=self.dtype, name="proj")(x)
+
+
+class EncDecBlock(nn.Module):
+    """Cross-attention decoder block (nn/modalities/modules.py:493-557)."""
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    first_residual: bool = True
+    layer_norm_first: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, q, kv, deterministic: bool = True):
+        b, n, c = q.shape
+        h = self.num_heads
+        q_in = q
+        r = q_in if self.first_residual else 0.0
+
+        def cross_attn(qx, name_prefix=""):
+            qq = nn.Dense(c, use_bias=True, dtype=self.dtype, name="q_proj")(qx)
+            kkvv = nn.Dense(2 * c, use_bias=True, dtype=self.dtype, name="kv_proj")(kv)
+            kk, vv = jnp.split(kkvv, 2, axis=-1)
+            qq = qq.reshape(b, n, h, c // h)
+            kk = kk.reshape(b, -1, h, c // h)
+            vv = vv.reshape(b, -1, h, c // h)
+            return multihead_attention(qq, kk, vv, impl="xla").reshape(b, n, c)
+
+        norm1 = Fp32LayerNorm(name="norm1")
+        norm2 = Fp32LayerNorm(name="norm2")
+        mlp = Mlp(hidden_dim=int(c * self.mlp_ratio), out_dim=c, dtype=self.dtype, name="mlp")
+        proj = nn.Dense(c, dtype=self.dtype, name="proj")
+
+        if self.layer_norm_first:
+            x = r + proj(cross_attn(norm1(q_in)))
+            rr = x = mlp(norm2(x), deterministic)
+            x = rr + x
+        else:
+            x = r + proj(cross_attn(q_in))
+            rr = x = norm1(x)
+            x = mlp(x, deterministic)
+            x = norm2(rr + x)
+        return x
+
+
+class EncDecTransformerDecoder(nn.Module):
+    """Cross-attention transformer decoder
+    (nn/modalities/modules.py:560-603)."""
+
+    decoder_dim: int
+    decoder_layers: int
+    out_dim: int
+    num_heads: int = 8
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, kv, deterministic: bool = True):
+        x = nn.Dense(self.decoder_dim, dtype=self.dtype, name="input_proj")(x)
+        for i in range(self.decoder_layers):
+            x = EncDecBlock(
+                num_heads=self.num_heads,
+                first_residual=i > 0,
+                dtype=self.dtype,
+                name=f"blocks_{i}",
+            )(x, kv, deterministic)
+        return nn.Dense(self.out_dim, dtype=self.dtype, name="proj")(x)
