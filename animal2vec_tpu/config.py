@@ -24,6 +24,26 @@ from typing import Any, List, Optional, Sequence, Tuple
 
 import yaml
 
+
+def parse_pylist(expr: str):
+    """Safely evaluate the reference's conv-layer spec strings, e.g.
+    ``"[(512, 3, 2)] * 3 + [(512, 2, 1)]"`` — list/tuple literals combined
+    with + and * only (the reference uses bare ``eval``,
+    nn/audio_tasks.py:290)."""
+    node = ast.parse(expr, mode="eval").body
+
+    def ev(n):
+        if isinstance(n, (ast.List, ast.Tuple, ast.Constant)):
+            return ast.literal_eval(n)
+        if isinstance(n, ast.BinOp) and isinstance(n.op, ast.Add):
+            return ev(n.left) + ev(n.right)
+        if isinstance(n, ast.BinOp) and isinstance(n.op, ast.Mult):
+            return ev(n.left) * ev(n.right)
+        raise ValueError(f"unsupported expression in list spec: {expr!r}")
+
+    return ev(node)
+
+
 # ---------------------------------------------------------------------------
 # Leaf config groups
 # ---------------------------------------------------------------------------
@@ -72,7 +92,7 @@ class TaskConfig:
         return list(ast.literal_eval(self.unique_labels))
 
     def conv_layers(self) -> List[Tuple[int, int, int]]:
-        return [tuple(x) for x in ast.literal_eval(self.conv_feature_layers)]
+        return [tuple(x) for x in parse_pylist(self.conv_feature_layers)]
 
 
 @dataclass

@@ -11,14 +11,13 @@ shape-preserving sub-computations.
 
 from __future__ import annotations
 
-import ast
 from typing import Any, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from animal2vec_tpu.config import AudioModalityConfig
+from animal2vec_tpu.config import AudioModalityConfig, parse_pylist
 from animal2vec_tpu.models.frontend import ConvFeatureExtractor
 from animal2vec_tpu.models.modules import (
     BlockConfig,
@@ -76,7 +75,7 @@ class AudioEncoder(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
-        conv_layers = [tuple(x) for x in ast.literal_eval(self.cfg.conv_feature_layers)]
+        conv_layers = [tuple(x) for x in parse_pylist(self.cfg.conv_feature_layers)]
         self._conv_layers = conv_layers
         feature_dim = conv_layers[-1][0]
         self.local_encoder = ConvFeatureExtractor(
@@ -186,7 +185,8 @@ class AudioEncoder(nn.Module):
             return bias, None
         scale = jnp.clip(self.alibi_scale.astype(bias.dtype), 0.0, None)
         if scale.shape[0] == 1:
-            return bias * scale[0, :, :, 0, :], None  # (1,H,1) broadcast over (H,T,T)
+            # (1, 1, H, 1, 1) -> (H, 1, 1), broadcasts over (H, T, T)
+            return bias * scale[0].reshape(-1, 1, 1), None
         return bias, scale
 
     def feature_length(self, wav_len: int) -> int:

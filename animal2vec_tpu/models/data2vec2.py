@@ -1,0 +1,421 @@
+"""data2vec 2.0 multi-modal model: student/EMA-teacher masked prediction.
+
+Covers nn/data2vec2.py (Data2VecMultiModel). Functional decomposition for the
+TPU train loop:
+
+* the module owns parameters and shape-preserving compute
+  (:meth:`local_features`, :meth:`encode`, :meth:`decode_d2v`,
+  :meth:`linear_eval`, :meth:`extract_features`),
+* the *orchestration* — mixup, clone-batch, mask sampling, teacher apply with
+  EMA params, loss assembly — lives in train/pretrain.py, because the teacher
+  is just a second `apply` with a different param tree (the functional
+  equivalent of fairseq's EMAModule, nn/data2vec2.py:345-410),
+* mask targets are gathered with static-count index arrays (ids from
+  MaskInfo), never boolean selections, so every shape is known to XLA.
+
+Teacher parameter subset (ema_encoder_only=False, the shipped config
+a2v_large_pretrain_best.yaml:97): everything except the frontend
+(local_encoder + feature projection), the decoders, and recon_proj
+(nn/data2vec2.py:362-384). `ema_param_label` encodes that rule.
+"""
+
+from __future__ import annotations
+
+import ast
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from animal2vec_tpu.config import ModelConfig
+from animal2vec_tpu.models.audio_encoder import AudioEncoder
+from animal2vec_tpu.models.images import ImageEncoder, patchify
+from animal2vec_tpu.models.modules import (
+    BlockConfig,
+    BlockStack,
+    Decoder1d,
+    Fp32LayerNorm,
+    fp32_instance_norm,
+)
+from animal2vec_tpu.ops import alibi_bias_1d, alibi_bias_2d
+from animal2vec_tpu.ops.masking import (
+    MaskInfo,
+    apply_mask,
+    gather_keep,
+    masked_alibi,
+    scatter_with_mask_tokens,
+)
+
+
+def _block_cfg(cfg: ModelConfig) -> BlockConfig:
+    return BlockConfig(
+        dim=cfg.embed_dim,
+        num_heads=cfg.num_heads,
+        mlp_ratio=cfg.mlp_ratio,
+        encoder_dropout=cfg.encoder_dropout,
+        attention_dropout=cfg.attention_dropout,
+        activation_dropout=cfg.activation_dropout,
+        post_mlp_drop=cfg.post_mlp_drop,
+        norm_eps=cfg.norm_eps,
+        norm_affine=cfg.norm_affine,
+        layer_norm_first=cfg.layer_norm_first,
+        ffn_targets=not cfg.end_of_block_targets,
+        attn_impl=cfg.attn_impl,
+    )
+
+
+class Data2VecMulti(nn.Module):
+    """Student/teacher trunk + modality encoders + decoders + optional
+    frame-label head."""
+
+    cfg: ModelConfig
+    dtype: Any = jnp.float32
+
+    @property
+    def modalities(self) -> List[str]:
+        if self.cfg.supported_modality:
+            return [self.cfg.supported_modality.upper()]
+        return ["AUDIO", "IMAGE"]
+
+    def setup(self):
+        cfg = self.cfg
+        bc = _block_cfg(cfg)
+        mods = self.modalities
+        if "AUDIO" in mods:
+            self.audio_encoder = AudioEncoder(
+                cfg=cfg.modalities.audio,
+                embed_dim=cfg.embed_dim,
+                block_cfg=bc,
+                remat=cfg.remat,
+                dtype=self.dtype,
+            )
+        if "IMAGE" in mods:
+            self.image_encoder = ImageEncoder(
+                cfg=cfg.modalities.image,
+                embed_dim=cfg.embed_dim,
+                block_cfg=bc,
+                remat=cfg.remat,
+                dtype=self.dtype,
+            )
+        self.blocks = BlockStack(
+            depth=cfg.depth,
+            cfg=bc,
+            start_drop_path=cfg.start_drop_path_rate,
+            end_drop_path=cfg.end_drop_path_rate,
+            layerdrop=cfg.layerdrop,
+            remat=cfg.remat,
+            dtype=self.dtype,
+        )
+        if cfg.layer_norm_first:
+            self.norm = Fp32LayerNorm(epsilon=cfg.norm_eps, use_affine=cfg.norm_affine)
+        else:
+            self.norm = None
+        self.dropout_input = nn.Dropout(cfg.dropout_input)
+        if cfg.with_labels:
+            self.final_dropout = nn.Dropout(cfg.final_dropout)
+            n_classes = len(ast.literal_eval(cfg.unique_labels))
+            self.linear_eval_projection = nn.Dense(
+                n_classes,
+                dtype=self.dtype,
+                kernel_init=nn.initializers.xavier_uniform(),
+            )
+        if cfg.shared_decoder is not None:
+            d = cfg.shared_decoder
+            self.shared_decoder = Decoder1d(
+                decoder_dim=d.decoder_dim,
+                decoder_kernel=d.decoder_kernel,
+                decoder_groups=d.decoder_groups,
+                decoder_layers=d.decoder_layers,
+                out_dim=cfg.embed_dim,
+                decoder_residual=d.decoder_residual,
+                projection_layers=d.projection_layers,
+                projection_ratio=d.projection_ratio,
+                dtype=self.dtype,
+            )
+        else:
+            self.shared_decoder = None
+        if cfg.recon_loss > 0:
+            self.recon_proj = nn.Dense(cfg.embed_dim, dtype=self.dtype)
+        else:
+            self.recon_proj = None
+
+    def __call__(self, source, mode: Optional[str] = None):
+        """Initialization-coverage forward: touches every submodule so
+        ``model.init`` creates the full parameter tree (frontend, prenet,
+        trunk, decoders, label head). Training/inference use the explicit
+        methods instead."""
+        mode = (mode or self.modalities[0]).upper()
+        local = self.local_features(source, mode)
+        b, t, _ = local.shape
+        mask = jnp.zeros((b, t), jnp.int32).at[:, :2].set(1)
+        info = MaskInfo(
+            mask=mask,
+            ids_shuffle=jnp.argsort(mask, axis=1, stable=True),
+            ids_restore=jnp.argsort(jnp.argsort(mask, axis=1, stable=True), axis=1),
+            ids_keep=jnp.argsort(mask, axis=1, stable=True)[:, : t - 2],
+        )
+        x, taps, _ = self.encode(local, mode, info, remove_masked=True)
+        outs = self.decode_d2v(x, mode, info)
+        if self.cfg.with_labels:
+            self.linear_eval(taps, mode, None)
+        return outs[0] if outs else x
+
+    # ------------------------------------------------------------------
+    def _enc(self, mode: str):
+        return self.audio_encoder if mode.upper() == "AUDIO" else self.image_encoder
+
+    def local_features(self, source, mode: str = "AUDIO", deterministic: bool = True):
+        """Raw modality input -> (B, T, embed) local features
+        (nn/modalities/base.py:194-213)."""
+        return self._enc(mode).local_features(source, deterministic=deterministic)
+
+    def _alibi(self, mode: str, t: int):
+        enc = self._enc(mode)
+        if mode.upper() == "AUDIO":
+            if not enc.cfg.use_alibi_encoder:
+                return None, None
+            bias = alibi_bias_1d(t, enc.cfg.num_alibi_heads)
+        else:
+            if not enc.cfg.use_alibi_encoder:
+                return None, None
+            bias = alibi_bias_2d(t, enc.cfg.num_alibi_heads, enc.cfg.alibi_distance)
+        return enc.scaled_alibi(bias)
+
+    def encode(
+        self,
+        local: jnp.ndarray,
+        mode: str = "AUDIO",
+        mask_info: Optional[MaskInfo] = None,
+        remove_masked: bool = False,
+        padding_mask: Optional[jnp.ndarray] = None,
+        channel_mask: Optional[jnp.ndarray] = None,
+        zero_mask: bool = True,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
+        """Contextualize local features and run the trunk.
+
+        Mirrors ModalitySpecificEncoder.contextualized_features
+        (nn/modalities/base.py:215-344) followed by the trunk block loop
+        (nn/data2vec2.py:640-674). Returns (x, taps, padding_mask) where
+        taps is (depth, B, T_or_K, C).
+        """
+        enc = self._enc(mode)
+        b, t, c = local.shape
+        x = local
+        if mode.upper() == "IMAGE":
+            x = enc.fixed_positions(x)
+
+        if mask_info is not None:
+            x_pre = x  # keep-set values are identical pre/post zeroing
+            rng = None if zero_mask else self.make_rng("mask_noise")
+            x = apply_mask(
+                x, mask_info, rng=rng, zero_mask=zero_mask,
+                noise_std=enc.cfg.mask_noise_std,
+            )
+        if channel_mask is not None:
+            x = x * (1 - channel_mask[:, None, :].astype(x.dtype))
+
+        # relative positions computed on the (masked) full sequence
+        x_pos = None
+        if mode.upper() == "AUDIO":
+            x_pos = enc.relative_positions(x)
+
+        if mask_info is not None and remove_masked:
+            x = gather_keep(x_pre, mask_info)
+            if x_pos is not None:
+                x = x + gather_keep(x_pos, mask_info)
+            if padding_mask is not None:
+                padding_mask = jnp.take_along_axis(padding_mask, mask_info.ids_keep, axis=1)
+        elif x_pos is not None:
+            x = x + x_pos
+
+        bias, scales = self._alibi(mode, t)
+        if bias is not None:
+            bias = jnp.broadcast_to(bias[None], (b,) + bias.shape)
+            if mask_info is not None and remove_masked:
+                bias = masked_alibi(bias, mask_info)
+
+        # extra (CLS) tokens (nn/modalities/base.py:316-324)
+        num_extra = enc.cfg.num_extra_tokens
+        if num_extra > 0:
+            tok = jnp.broadcast_to(
+                enc.extra_tokens.astype(x.dtype), (x.shape[0], num_extra, x.shape[-1])
+            )
+            x = jnp.concatenate([tok, x], axis=1)
+            if padding_mask is not None:
+                padding_mask = jnp.pad(padding_mask, ((0, 0), (num_extra, 0)))
+            if bias is not None:
+                bias = jnp.pad(bias, ((0, 0), (0, 0), (num_extra, 0), (num_extra, 0)))
+
+        prenet_scales = trunk_scales = None
+        if scales is not None:
+            prenet_scales = scales[: enc.cfg.prenet_depth]
+            trunk_scales = scales[enc.cfg.prenet_depth:]
+
+        x = enc.prenet(x, padding_mask, bias, deterministic)
+        x = self.dropout_input(x, deterministic=deterministic)
+        x, taps = self.blocks(
+            x, padding_mask, bias, deterministic, bias_scales=trunk_scales
+        )
+        if self.norm is not None:
+            x = self.norm(x)
+        return x, taps, padding_mask
+
+    def decode_d2v(
+        self,
+        x: jnp.ndarray,
+        mode: str = "AUDIO",
+        mask_info: Optional[MaskInfo] = None,
+        deterministic: bool = True,
+    ) -> List[jnp.ndarray]:
+        """Run shared and/or modality decoders on the student output
+        (nn/data2vec2.py:730-748, base.py:162-192). Returns full-length
+        (B, T, C) predictions, one per active decoder."""
+        enc = self._enc(mode)
+        outs = []
+        for decoder, dcfg in (
+            (self.shared_decoder, self.cfg.shared_decoder),
+            (enc.decoder, enc.cfg.decoder),
+        ):
+            if decoder is None:
+                continue
+            y = x
+            inp_drop = dcfg.input_dropout if dcfg is not None else 0.0
+            if inp_drop > 0 and not deterministic:
+                keep = jax.random.bernoulli(
+                    self.make_rng("dropout"), 1.0 - inp_drop, y.shape
+                )
+                y = y * keep / (1.0 - inp_drop)
+            if mask_info is not None:
+                y = scatter_with_mask_tokens(
+                    y,
+                    mask_info,
+                    self.make_rng("mask_noise"),
+                    noise_std=enc.cfg.mask_noise_std,
+                    num_extra=enc.cfg.num_extra_tokens,
+                )
+            elif enc.cfg.num_extra_tokens:
+                y = y[:, enc.cfg.num_extra_tokens:]
+            outs.append(decoder(y))
+        return outs
+
+    def linear_eval(
+        self,
+        taps: jnp.ndarray,
+        mode: str = "AUDIO",
+        mask_info: Optional[MaskInfo] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        """Frame-label logits from detached averaged layer taps
+        (nn/data2vec2.py:676-712): used as a supervised linear probe during
+        pretraining. Decoders (no-grad) scatter keep-set taps back to full
+        length when masking removed tokens."""
+        k = self.cfg.average_top_k_layers
+        x = jax.lax.stop_gradient(taps[-k:].astype(jnp.float32).mean(axis=0))
+        x = x.astype(taps.dtype)
+        if self.norm is not None:
+            x = self.norm(x)
+        if mask_info is not None:
+            enc = self._enc(mode)
+            if self.shared_decoder is not None or enc.decoder is not None:
+                outs = self.decode_d2v(
+                    jax.lax.stop_gradient(x), mode, mask_info, deterministic
+                )
+                x = jax.lax.stop_gradient(outs[-1])
+        x = self.final_dropout(x, deterministic=deterministic)
+        return self.linear_eval_projection(x)
+
+    def extract_features(
+        self,
+        source: jnp.ndarray,
+        mode: str = "AUDIO",
+        padding_mask: Optional[jnp.ndarray] = None,
+        mask_info: Optional[MaskInfo] = None,
+        channel_mask: Optional[jnp.ndarray] = None,
+        zero_mask: bool = True,
+        deterministic: bool = True,
+    ) -> Dict[str, jnp.ndarray]:
+        """features_only forward (nn/data2vec2.py:1112-1123 ->
+        forward(features_only=True) :714-728): full-sequence encoding, no
+        removal, optional masking-as-regularization."""
+        local = self.local_features(source, mode, deterministic)
+        if padding_mask is not None and mode.upper() == "AUDIO":
+            padding_mask = self._enc(mode).convert_padding_mask(
+                padding_mask, local.shape[1]
+            )
+        x, taps, pad = self.encode(
+            local,
+            mode,
+            mask_info=mask_info,
+            remove_masked=False,
+            padding_mask=padding_mask,
+            channel_mask=channel_mask,
+            zero_mask=zero_mask,
+            deterministic=deterministic,
+        )
+        out = {"x": x, "layer_results": taps, "padding_mask": pad}
+        if self.cfg.with_labels:
+            out["linear_eval_projection"] = self.linear_eval(
+                taps, mode, None, deterministic
+            )
+        return out
+
+    def patchify_targets(self, imgs: jnp.ndarray) -> jnp.ndarray:
+        """Recon-loss targets for the image modality
+        (nn/data2vec2.py:883-894)."""
+        p = self.cfg.modalities.image.patch_size
+        target = patchify(imgs, p)
+        mean = target.mean(axis=-1, keepdims=True)
+        var = target.var(axis=-1, keepdims=True)
+        return (target - mean) / jnp.sqrt(var + 1e-6)
+
+
+def make_targets(
+    taps: jnp.ndarray,
+    cfg: ModelConfig,
+) -> jnp.ndarray:
+    """Teacher targets: average the top-k layer taps with the configured
+    normalizations (nn/data2vec2.py:1023-1066). taps: (depth, B, T, C)."""
+    k = cfg.average_top_k_layers
+    tl = taps[-k:].astype(jnp.float32)
+    if cfg.batch_norm_target_layer:
+        mean = tl.mean(axis=(1, 2), keepdims=True)
+        var = tl.var(axis=(1, 2), keepdims=True)
+        tl = (tl - mean) * jax.lax.rsqrt(var + 1e-5)
+    if cfg.instance_norm_target_layer:
+        # per layer, per batch item, per channel over time
+        mean = tl.mean(axis=2, keepdims=True)
+        var = tl.var(axis=2, keepdims=True)
+        tl = (tl - mean) * jax.lax.rsqrt(var + 1e-5)
+    if cfg.layer_norm_target_layer:
+        mean = tl.mean(axis=-1, keepdims=True)
+        var = tl.var(axis=-1, keepdims=True)
+        tl = (tl - mean) * jax.lax.rsqrt(var + 1e-5)
+    y = tl.mean(axis=0)
+    if cfg.layer_norm_targets:
+        mean = y.mean(axis=-1, keepdims=True)
+        var = y.var(axis=-1, keepdims=True)
+        y = (y - mean) * jax.lax.rsqrt(var + 1e-5)
+    if cfg.instance_norm_targets:
+        y = fp32_instance_norm(y)
+    return y
+
+
+def ema_param_label(path: Tuple[str, ...], ema_encoder_only: bool) -> bool:
+    """True if the parameter at ``path`` belongs to the EMA teacher tree
+    (nn/data2vec2.py:362-384)."""
+    parts = set(path)
+    if ema_encoder_only:
+        return path[0] == "blocks"
+    if path[0] in ("shared_decoder", "recon_proj"):
+        return False
+    if path[0] in ("audio_encoder", "image_encoder"):
+        if path[1] in ("local_encoder", "project_norm", "project_linear", "decoder", "patch_embed", "patch_proj"):
+            return False
+        return True
+    if path[0] in ("linear_eval_projection", "final_dropout"):
+        # unused by the teacher forward; excluded to save HBM (the reference
+        # copies them but never evaluates them, nn/data2vec2.py:374-382)
+        return False
+    return True

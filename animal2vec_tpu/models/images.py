@@ -155,6 +155,15 @@ class ImageEncoder(nn.Module):
                 jnp.float32,
             )
 
+    def scaled_alibi(self, bias):
+        """Same contract as AudioEncoder.scaled_alibi."""
+        if not self.cfg.use_alibi_encoder:
+            return bias, None
+        scale = jnp.clip(self.alibi_scale.astype(bias.dtype), 0.0, None)
+        if scale.shape[0] == 1:
+            return bias * scale[0].reshape(-1, 1, 1), None
+        return bias, scale
+
     def local_features(self, imgs, deterministic: bool = True):
         """(B, H, W, 3) -> (B, P, embed)."""
         x = self.patch_embed(imgs)
