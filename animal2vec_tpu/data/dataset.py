@@ -1,0 +1,298 @@
+"""Host input pipeline: manifest -> decoded, normalized, frame-labeled,
+fixed-shape batches.
+
+Replaces FileAudioLabelDataset + the fairseq epoch-batch iterator machinery
+(nn/audio_tasks.py:191-469; RawAudioDataset crop/pad/normalize). TPU-first
+differences:
+
+* **fixed batch shapes**: the reference packs variable-size batches by token
+  count (max_tokens), which would retrigger XLA compilation per shape. Here
+  every batch is (B, T) with B = max_tokens // T — same audio-seconds
+  budget, one compiled program.
+* labels are rasterized directly at the conv feature rate
+  (ops/frames.frame_targets) instead of at waveform rate + interpolation —
+  identical result, ~40x less host work (SURVEY §7 hard part 5).
+* source and target crops are taken at the *same* relative position, unlike
+  the reference's independent random crops of source and target rows.
+* deterministic epoch shuffling + per-host sharding + thread prefetch;
+  the iterator state (epoch, position) is checkpointable.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from animal2vec_tpu.data.labels import audio_path_to_label_path, read_label_file
+from animal2vec_tpu.data.manifest import read_manifest
+from animal2vec_tpu.data.wavio import read_wav
+from animal2vec_tpu.ops.audio import layer_norm_1d
+from animal2vec_tpu.ops.conv_arith import label_frame_length
+from animal2vec_tpu.ops.frames import frame_targets
+
+
+class AudioLabelDataset:
+    """Manifest-backed raw-audio (+ frame-label) dataset."""
+
+    def __init__(
+        self,
+        manifest_path: str,
+        sample_rate: int = 8_000,
+        max_sample_size: Optional[int] = None,
+        min_sample_size: int = 1,
+        normalize: bool = True,
+        return_labels: bool = False,
+        unique_labels: Optional[Sequence[str]] = None,
+        use_focal_loss: bool = True,
+        do_focal_prediction: bool = True,
+        min_label_size: int = 0,
+        conv_layers: Optional[Sequence[Tuple[int, int, int]]] = None,
+        label_ext: str = "h5",
+    ):
+        self.sample_rate = sample_rate
+        self.normalize = normalize
+        self.return_labels = return_labels
+        self.unique_labels = list(unique_labels) if unique_labels else []
+        self.use_focal_loss = use_focal_loss
+        self.do_focal_prediction = do_focal_prediction
+        self.conv_layers = list(conv_layers) if conv_layers else None
+        self.max_sample_size = max_sample_size
+        self.label_ext = label_ext
+
+        root, entries = read_manifest(manifest_path)
+        self.root = root
+        self.names: List[str] = []
+        sizes: List[int] = []
+        skipped = 0
+        for rel, frames in entries:
+            if frames < min_sample_size:
+                skipped += 1
+                continue
+            if return_labels and min_label_size > 0:
+                try:
+                    lp = audio_path_to_label_path(
+                        os.path.join(root, rel), lblext=label_ext
+                    )
+                    if not os.path.isfile(lp) or os.path.getsize(lp) <= min_label_size:
+                        skipped += 1
+                        continue
+                except ValueError:
+                    skipped += 1
+                    continue
+            self.names.append(rel)
+            sizes.append(frames)
+        self.sizes = np.asarray(sizes, dtype=np.int64)
+        self.skipped = skipped
+
+    def __len__(self) -> int:
+        return len(self.names)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        rel = self.names[index]
+        wav, sr = read_wav(os.path.join(self.root, rel))
+        if wav.ndim > 1:
+            wav = wav[:, 0]
+        assert sr == self.sample_rate, (
+            f"{rel}: sample rate {sr} != configured {self.sample_rate}; "
+            "resample offline with tools/prepare_data_cli.py"
+        )
+        if self.normalize:
+            wav = layer_norm_1d(wav)
+        item: Dict[str, np.ndarray] = {"id": np.int64(index), "source": wav.astype(np.float32)}
+        if self.return_labels:
+            lp = audio_path_to_label_path(os.path.join(self.root, rel), lblext=self.label_ext)
+            lbl = read_label_file(lp)
+            item["target"] = frame_targets(
+                wav_len=len(wav),
+                num_classes=len(self.unique_labels),
+                starts=lbl.get("start_frame_lbl", []),
+                ends=lbl.get("end_frame_lbl", []),
+                cats=lbl.get("lbl_cat", []),
+                conv_layers=self.conv_layers,
+                focal=lbl.get("foc", []),
+                multilabel=self.use_focal_loss,
+                do_focal_prediction=self.do_focal_prediction
+                and bool(self.unique_labels)
+                and self.unique_labels[-1].lower() == "focal",
+            )
+        return item
+
+
+def pad_or_crop(
+    wav: np.ndarray,
+    target_len: int,
+    rng: np.random.Generator,
+    train: bool,
+) -> Tuple[np.ndarray, int, int]:
+    """Returns (clip, crop_start, valid_len). Random crop during training,
+    center crop otherwise; right-pad with zeros when short
+    (RawAudioDataset crop/pad semantics consumed at nn/audio_tasks.py:388-431)."""
+    n = len(wav)
+    if n == target_len:
+        return wav, 0, n
+    if n > target_len:
+        start = int(rng.integers(0, n - target_len + 1)) if train else (n - target_len) // 2
+        return wav[start: start + target_len], start, target_len
+    out = np.zeros(target_len, dtype=wav.dtype)
+    out[:n] = wav
+    return out, 0, n
+
+
+class BatchLoader:
+    """Fixed-shape epoch iterator with shuffling, host sharding, grad-accum
+    stacking, and thread prefetch."""
+
+    def __init__(
+        self,
+        dataset: AudioLabelDataset,
+        target_len: int,
+        batch_size: Optional[int] = None,
+        max_tokens: Optional[int] = None,
+        accum: int = 1,
+        shuffle: bool = True,
+        seed: int = 1,
+        drop_last: bool = True,
+        num_workers: int = 4,
+        host_index: int = 0,
+        host_count: int = 1,
+        train: bool = True,
+    ):
+        assert batch_size or max_tokens
+        self.dataset = dataset
+        self.target_len = target_len
+        self.batch_size = batch_size or max(1, max_tokens // target_len)
+        self.accum = max(1, accum)
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.host_index = host_index
+        self.host_count = host_count
+        self.train = train
+        self.epoch = 0
+        if dataset.return_labels:
+            self.target_frames = label_frame_length(target_len, dataset.conv_layers)
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def state_dict(self) -> Dict:
+        return {"epoch": self.epoch}
+
+    def load_state_dict(self, d: Dict):
+        self.epoch = int(d.get("epoch", 0))
+
+    def __len__(self) -> int:
+        per_host = len(self.dataset) // self.host_count
+        group = self.batch_size * self.accum
+        n = per_host // group
+        if not self.drop_last and per_host % group:
+            n += 1
+        return n
+
+    def _order(self) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            order = np.random.default_rng(self.seed + self.epoch).permutation(n)
+        else:
+            order = np.arange(n)
+        return order[self.host_index:: self.host_count]
+
+    def _make_item(self, idx: int, rng: np.random.Generator) -> Dict[str, np.ndarray]:
+        item = self.dataset[int(idx)]
+        wav = item["source"]
+        clip, start, valid = pad_or_crop(wav, self.target_len, rng, self.train)
+        out = {"id": item["id"], "source": clip, "valid_len": np.int64(valid)}
+        if "target" in item:
+            tgt = item["target"]
+            tf = self.target_frames
+            scale = len(tgt) / max(1, len(wav))
+            t_start = int(round(start * scale))
+            if len(tgt) >= t_start + tf:
+                tgt = tgt[t_start: t_start + tf]
+            else:
+                padded = np.zeros((tf,) + tgt.shape[1:], dtype=tgt.dtype)
+                padded[: len(tgt) - t_start] = tgt[t_start:]
+                tgt = padded
+            out["target"] = tgt
+        return out
+
+    def _collate(self, items: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+        batch = {
+            "id": np.stack([i["id"] for i in items]),
+            "source": np.stack([i["source"] for i in items]),
+        }
+        valid = np.stack([i["valid_len"] for i in items])
+        if (valid < self.target_len).any():
+            idx = np.arange(self.target_len)[None, :]
+            batch["padding_mask"] = idx >= valid[:, None]
+        if "target" in items[0]:
+            batch["target"] = np.stack([i["target"] for i in items])
+        return batch
+
+    def _epoch_batches(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = self._order()
+        rng = np.random.default_rng(self.seed * 7919 + self.epoch)
+        group = self.batch_size * self.accum
+        n_full = len(order) // group
+        ranges = [order[i * group: (i + 1) * group] for i in range(n_full)]
+        if not self.drop_last and len(order) % group:
+            ranges.append(order[n_full * group:])
+
+        work_q: "queue.Queue" = queue.Queue(maxsize=self.num_workers * 2)
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.num_workers * 2)
+
+        def worker():
+            while True:
+                task = work_q.get()
+                if task is None:
+                    return
+                pos, idxs, seed = task
+                w_rng = np.random.default_rng(seed)
+                items = [self._make_item(i, w_rng) for i in idxs]
+                # pad the final short group by repeating items
+                while len(items) < group:
+                    items.append(items[len(items) % max(1, len(idxs))])
+                batch = self._collate(items)
+                if self.accum > 1:
+                    batch = {
+                        k: v.reshape((self.accum, self.batch_size) + v.shape[1:])
+                        for k, v in batch.items()
+                    }
+                out_q.put((pos, batch))
+
+        threads = [
+            threading.Thread(target=worker, daemon=True) for _ in range(self.num_workers)
+        ]
+        for t in threads:
+            t.start()
+
+        def feeder():
+            for pos, idxs in enumerate(ranges):
+                work_q.put((pos, idxs, int(rng.integers(0, 2**31))))
+            for _ in threads:
+                work_q.put(None)
+
+        feed_thread = threading.Thread(target=feeder, daemon=True)
+        feed_thread.start()
+
+        pending: Dict[int, Dict] = {}
+        next_pos = 0
+        received = 0
+        total = len(ranges)
+        while received < total:
+            pos, batch = out_q.get()
+            pending[pos] = batch
+            received += 1
+            while next_pos in pending:
+                yield pending.pop(next_pos)
+                next_pos += 1
+        for t in threads:
+            t.join(timeout=1)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        return self._epoch_batches()

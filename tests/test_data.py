@@ -1,0 +1,172 @@
+"""Data pipeline tests: WAV IO, labels, manifests, dataset, fixed-shape
+epoch iteration with deterministic resume."""
+
+import os
+
+import numpy as np
+import pytest
+
+from animal2vec_tpu.data import (
+    AudioLabelDataset,
+    BatchLoader,
+    read_label_file,
+    read_manifest,
+    read_wav,
+    wav_info,
+    write_wav,
+)
+from animal2vec_tpu.data.labels import audio_path_to_label_path, write_label_file
+from animal2vec_tpu.data.synthetic import generate
+
+MEERKAT_CONV = [(127, 63, 1), (512, 10, 5)] + [(512, 3, 2)] * 3 + [
+    (512, 3, 1), (512, 2, 1), (512, 2, 1),
+]
+LABELS = ["beep", "synch", "sn", "cc", "ld", "oth", "mo", "al", "soc", "agg", "eating", "focal"]
+
+
+class TestWavIO:
+    def test_pcm16_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(0)
+        wav = (rng.uniform(-0.9, 0.9, 16_000)).astype(np.float32)
+        p = str(tmp_path / "x.wav")
+        write_wav(p, wav, 8000)
+        out, sr = read_wav(p)
+        assert sr == 8000
+        np.testing.assert_allclose(out, wav, atol=1.0 / 32768 + 1e-6)
+        info = wav_info(p)
+        assert info["frames"] == 16_000 and info["sample_rate"] == 8000
+
+    def test_float_roundtrip(self, tmp_path):
+        wav = np.linspace(-1, 1, 1000).astype(np.float32)
+        p = str(tmp_path / "f.wav")
+        write_wav(p, wav, 8000, subtype="FLOAT")
+        out, sr = read_wav(p)
+        np.testing.assert_allclose(out, wav, atol=1e-7)
+
+    def test_stereo(self, tmp_path):
+        wav = np.stack([np.ones(100), -np.ones(100)], axis=1).astype(np.float32) * 0.5
+        p = str(tmp_path / "s.wav")
+        write_wav(p, wav, 8000)
+        out, _ = read_wav(p)
+        assert out.shape == (100, 2)
+
+    def test_not_wav(self, tmp_path):
+        p = str(tmp_path / "bad.wav")
+        open(p, "wb").write(b"hello world, definitely not audio")
+        with pytest.raises(ValueError):
+            read_wav(p)
+
+
+class TestLabels:
+    def test_path_mapping(self):
+        assert (
+            audio_path_to_label_path("/data/wav/08000Hz/a.wav")
+            == "/data/lbl/08000Hz/a.h5"
+        )
+        with pytest.raises(ValueError):
+            audio_path_to_label_path("/data/audio/a.wav")
+
+    def test_h5_roundtrip(self, tmp_path):
+        p = str(tmp_path / "x.h5")
+        write_label_file(p, [0.1], [800], [0.5], [4000], ["cc"], [3], [1])
+        out = read_label_file(p)
+        assert out["start_frame_lbl"].tolist() == [800]
+        assert out["lbl_cat"].tolist() == [3]
+        assert out["foc"].tolist() == [1]
+
+    def test_npz_roundtrip(self, tmp_path):
+        p = str(tmp_path / "x.npz")
+        write_label_file(p, [0.1], [800], [0.5], [4000], ["cc"], [3], [0])
+        out = read_label_file(p)
+        assert out["end_frame_lbl"].tolist() == [4000]
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("meerkat"))
+    generate(root, n_clips=8, clip_seconds=2.0, seed=0)
+    return root
+
+
+class TestDataset:
+    def test_manifest_and_load(self, synth_root):
+        root, entries = read_manifest(os.path.join(synth_root, "pretrain.tsv"))
+        assert len(entries) == 8
+        ds = AudioLabelDataset(
+            os.path.join(synth_root, "pretrain.tsv"),
+            return_labels=True,
+            unique_labels=LABELS,
+            conv_layers=MEERKAT_CONV,
+        )
+        item = ds[0]
+        assert item["source"].shape == (16_000,)
+        # normalized
+        assert abs(item["source"].mean()) < 1e-3
+        assert item["target"].shape == (400, 12)  # 2 s -> 400 frames
+        assert item["target"].sum() > 0
+
+    def test_min_label_size_filter(self, synth_root):
+        ds = AudioLabelDataset(
+            os.path.join(synth_root, "pretrain.tsv"),
+            return_labels=True,
+            unique_labels=LABELS,
+            conv_layers=MEERKAT_CONV,
+            min_label_size=10**9,  # absurd: everything filtered
+        )
+        assert len(ds) == 0 and ds.skipped == 8
+
+    def test_loader_shapes_and_determinism(self, synth_root):
+        ds = AudioLabelDataset(
+            os.path.join(synth_root, "train_0.tsv"),
+            return_labels=True,
+            unique_labels=LABELS,
+            conv_layers=MEERKAT_CONV,
+        )
+        loader = BatchLoader(
+            ds, target_len=16_000, batch_size=2, accum=1, seed=3, num_workers=2
+        )
+        loader.set_epoch(0)
+        batches = list(loader)
+        assert len(batches) == len(loader) == 3
+        for b in batches:
+            assert b["source"].shape == (2, 16_000)
+            assert b["target"].shape == (2, 400, 12)
+        # same epoch -> same order; next epoch -> different
+        ids0 = [b["id"].tolist() for b in loader]
+        loader.set_epoch(0)
+        assert [b["id"].tolist() for b in loader] == ids0
+        loader.set_epoch(1)
+        assert [b["id"].tolist() for b in loader] != ids0
+
+    def test_accum_stacking(self, synth_root):
+        ds = AudioLabelDataset(os.path.join(synth_root, "pretrain.tsv"))
+        loader = BatchLoader(ds, target_len=16_000, batch_size=2, accum=2, num_workers=1)
+        b = next(iter(loader))
+        assert b["source"].shape == (2, 2, 16_000)
+
+    def test_host_sharding(self, synth_root):
+        ds = AudioLabelDataset(os.path.join(synth_root, "pretrain.tsv"))
+        seen = []
+        for host in range(2):
+            loader = BatchLoader(
+                ds, target_len=16_000, batch_size=2, accum=1, shuffle=False,
+                num_workers=1, host_index=host, host_count=2,
+            )
+            for b in loader:
+                seen.extend(b["id"].ravel().tolist())
+        assert sorted(seen) == list(range(8))
+
+    def test_crop_and_pad(self, synth_root):
+        ds = AudioLabelDataset(os.path.join(synth_root, "pretrain.tsv"))
+        short = BatchLoader(ds, target_len=8_000, batch_size=2, num_workers=1)
+        b = next(iter(short))
+        assert b["source"].shape == (2, 8_000)
+        long = BatchLoader(
+            ds, target_len=20_000, batch_size=2, num_workers=1, train=False,
+            drop_last=False,
+        )
+        b = next(iter(long))
+        assert b["source"].shape == (2, 20_000)
+        assert b["padding_mask"].shape == (2, 20_000)
+        assert b["padding_mask"][:, -1].all()  # tail is padding
+        assert not b["padding_mask"][:, 0].any()
