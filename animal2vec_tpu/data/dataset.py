@@ -258,7 +258,7 @@ class BatchLoader:
                 while len(items) < group:
                     items.append(items[len(items) % max(1, len(idxs))])
                 batch = self._collate(items)
-                if self.accum > 1:
+                if self.train:  # training steps always expect (accum, B, ...)
                     batch = {
                         k: v.reshape((self.accum, self.batch_size) + v.shape[1:])
                         for k, v in batch.items()

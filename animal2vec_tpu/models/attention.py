@@ -13,12 +13,39 @@ padded up to the kernel block size with fully-masked rows/cols.
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import NamedTuple, Optional, Union
 
 import jax
 import jax.numpy as jnp
 
 NEG_INF = -1e10
+
+
+class AlibiSpec(NamedTuple):
+    """Structured ALiBi bias: ``bias[b,h,i,j] = -slopes[h] * |pos[b,i] -
+    pos[b,j]|`` (zero when either position is the -1 extra-token sentinel).
+
+    Carrying (slopes, positions) instead of a dense (B,H,T,T) tensor is what
+    lets the Pallas kernel compute the bias inline; it also expresses the
+    reference's masked_alibi gather (nn/modalities/base.py:681-698) as plain
+    position gathering."""
+
+    slopes: jnp.ndarray     # (H,) scaled per-head slopes
+    positions: jnp.ndarray  # (B, T) int32
+
+    def scale_heads(self, scale: jnp.ndarray) -> "AlibiSpec":
+        return self._replace(slopes=self.slopes * scale.reshape(-1))
+
+    def densify(self) -> jnp.ndarray:
+        """(B, H, T, T) dense bias — the XLA/CPU fallback path."""
+        pos = self.positions.astype(jnp.float32)
+        dist = jnp.abs(pos[:, :, None] - pos[:, None, :])
+        sentinel = (pos[:, :, None] < 0) | (pos[:, None, :] < 0)
+        base = jnp.where(sentinel, 0.0, -dist)
+        return base[:, None] * self.slopes.astype(jnp.float32)[None, :, None, None]
+
+
+Bias = Union[jnp.ndarray, AlibiSpec, None]
 
 
 def _on_tpu() -> bool:
@@ -134,24 +161,36 @@ def multihead_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
-    bias: Optional[jnp.ndarray] = None,
+    bias: Bias = None,
     padding_mask: Optional[jnp.ndarray] = None,
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
     impl: str = "auto",
 ) -> jnp.ndarray:
-    """Dispatch between XLA and Pallas flash attention.
+    """Dispatch between XLA einsum attention and the Pallas ALiBi flash
+    kernel (ops/pallas_attention.py).
 
-    auto: flash on TPU for seq >= 1024 with no attention dropout
-    (dropout inside the flash kernel is unsupported; the shipped eval/infer
-    paths are dropout-free, and pretrain student sequences are short).
+    The Pallas path needs a *structured* AlibiSpec bias (computed inline on
+    VMEM tiles), a TPU backend, moderate+ sequence length, and no attention
+    dropout (eval/infer are dropout-free; pretrain student sequences are
+    short so XLA is fine there).
     """
     t = q.shape[1]
+    has_dropout = dropout_rate > 0.0 and dropout_rng is not None
+    if isinstance(bias, AlibiSpec):
+        use_pallas = impl != "xla" and _on_tpu() and t >= 256 and not has_dropout
+        if use_pallas or (impl == "flash" and not has_dropout):
+            from animal2vec_tpu.ops.pallas_attention import alibi_flash_attention
+
+            return alibi_flash_attention(
+                q, k, v, bias.slopes, bias.positions, padding_mask, use_pallas
+            )
+        bias = bias.densify()
     use_flash = impl == "flash" or (
         impl == "auto"
         and _on_tpu()
         and t >= 1024
-        and (dropout_rate == 0.0 or dropout_rng is None)
+        and not has_dropout
     )
     if use_flash:
         return flash_attention_tpu(q, k, v, bias, padding_mask)

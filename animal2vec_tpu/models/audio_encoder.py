@@ -170,8 +170,13 @@ class AudioEncoder(nn.Module):
             x = blk(x)
         return x
 
-    def prenet(self, x, padding_mask=None, bias=None, deterministic: bool = True):
-        return self.context_encoder(x, padding_mask, bias, deterministic)
+    def prenet(
+        self, x, padding_mask=None, bias=None, deterministic: bool = True,
+        bias_scales=None,
+    ):
+        return self.context_encoder(
+            x, padding_mask, bias, deterministic, bias_scales=bias_scales
+        )
 
     def decode(self, x):
         assert self.decoder is not None
@@ -188,6 +193,23 @@ class AudioEncoder(nn.Module):
             # (1, 1, H, 1, 1) -> (H, 1, 1), broadcasts over (H, T, T)
             return bias * scale[0].reshape(-1, 1, 1), None
         return bias, scale
+
+    def alibi_spec(self, positions: jnp.ndarray):
+        """Structured ALiBi (slopes x positions) for the Pallas kernel path:
+        returns (AlibiSpec, per-layer scales or None). The global learned
+        scale folds into the slope vector; per-layer scales are applied
+        inside BlockStack (nn/modalities/base.py:292-314 semantics without
+        materializing any (T, T) bias)."""
+        from animal2vec_tpu.models.attention import AlibiSpec
+        from animal2vec_tpu.ops.alibi import alibi_slopes
+
+        if not self.cfg.use_alibi_encoder:
+            return None, None
+        slopes = jnp.asarray(alibi_slopes(self.cfg.num_alibi_heads))
+        scale = jnp.clip(self.alibi_scale.astype(jnp.float32), 0.0, None)
+        if scale.shape[0] == 1:
+            return AlibiSpec(slopes * scale[0].reshape(-1), positions), None
+        return AlibiSpec(slopes, positions), scale
 
     def feature_length(self, wav_len: int) -> int:
         return feature_extractor_out_length(wav_len, self._conv_layers)

@@ -230,14 +230,35 @@ class Data2VecMulti(nn.Module):
         elif x_pos is not None:
             x = x + x_pos
 
-        bias, scales = self._alibi(mode, t)
-        if bias is not None:
-            bias = jnp.broadcast_to(bias[None], (b,) + bias.shape)
+        num_extra = enc.cfg.num_extra_tokens
+        if mode.upper() == "AUDIO":
+            # structured ALiBi: positions instead of a (T,T) bias. The
+            # masked-student path just carries the kept original positions
+            # (equivalent to masked_alibi's bias gather, base.py:681-698).
+            bsz = x.shape[0]
             if mask_info is not None and remove_masked:
-                bias = masked_alibi(bias, mask_info)
+                positions = mask_info.ids_keep.astype(jnp.int32)
+            else:
+                positions = jnp.broadcast_to(
+                    jnp.arange(t, dtype=jnp.int32)[None], (bsz, t)
+                )
+            if num_extra > 0:  # extra tokens -> zero-bias sentinel positions
+                positions = jnp.pad(
+                    positions, ((0, 0), (num_extra, 0)), constant_values=-1
+                )
+            bias, scales = enc.alibi_spec(positions)
+        else:
+            bias, scales = self._alibi(mode, t)
+            if bias is not None:
+                bias = jnp.broadcast_to(bias[None], (b,) + bias.shape)
+                if mask_info is not None and remove_masked:
+                    bias = masked_alibi(bias, mask_info)
+                if num_extra > 0:
+                    bias = jnp.pad(
+                        bias, ((0, 0), (0, 0), (num_extra, 0), (num_extra, 0))
+                    )
 
         # extra (CLS) tokens (nn/modalities/base.py:316-324)
-        num_extra = enc.cfg.num_extra_tokens
         if num_extra > 0:
             tok = jnp.broadcast_to(
                 enc.extra_tokens.astype(x.dtype), (x.shape[0], num_extra, x.shape[-1])
@@ -245,15 +266,13 @@ class Data2VecMulti(nn.Module):
             x = jnp.concatenate([tok, x], axis=1)
             if padding_mask is not None:
                 padding_mask = jnp.pad(padding_mask, ((0, 0), (num_extra, 0)))
-            if bias is not None:
-                bias = jnp.pad(bias, ((0, 0), (0, 0), (num_extra, 0), (num_extra, 0)))
 
         prenet_scales = trunk_scales = None
         if scales is not None:
             prenet_scales = scales[: enc.cfg.prenet_depth]
             trunk_scales = scales[enc.cfg.prenet_depth:]
 
-        x = enc.prenet(x, padding_mask, bias, deterministic)
+        x = enc.prenet(x, padding_mask, bias, deterministic, bias_scales=prenet_scales)
         x = self.dropout_input(x, deterministic=deterministic)
         x, taps = self.blocks(
             x, padding_mask, bias, deterministic, bias_scales=trunk_scales

@@ -178,8 +178,13 @@ class ImageEncoder(nn.Module):
             return x
         return x + self.pos_embed.astype(x.dtype)
 
-    def prenet(self, x, padding_mask=None, bias=None, deterministic: bool = True):
-        return self.context_encoder(x, padding_mask, bias, deterministic)
+    def prenet(
+        self, x, padding_mask=None, bias=None, deterministic: bool = True,
+        bias_scales=None,
+    ):
+        return self.context_encoder(
+            x, padding_mask, bias, deterministic, bias_scales=bias_scales
+        )
 
     def decode(self, x, kv=None, deterministic: bool = True):
         assert self.decoder is not None

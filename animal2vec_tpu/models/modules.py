@@ -258,10 +258,17 @@ class BlockStack(nn.Module):
                 prevent_cse=False,
             )
 
+        from animal2vec_tpu.models.attention import AlibiSpec
+
         def body(block, carry, layer_in):
             x = carry
             rate, scale = layer_in
-            ab = bias if bias is None else bias * scale.astype(bias.dtype)
+            if bias is None:
+                ab = None
+            elif isinstance(bias, AlibiSpec):
+                ab = bias.scale_heads(scale.reshape(-1))
+            else:
+                ab = bias * scale.astype(bias.dtype)
             y, tap = block(x, padding_mask, ab, rate, deterministic)
             if self.layerdrop > 0 and not deterministic:
                 keep = jax.random.bernoulli(
@@ -298,7 +305,14 @@ class PrenetEncoder(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, padding_mask=None, bias=None, deterministic: bool = True):
+    def __call__(
+        self,
+        x,
+        padding_mask=None,
+        bias=None,
+        deterministic: bool = True,
+        bias_scales: Optional[jnp.ndarray] = None,
+    ):
         c = self.cfg
         if not c.layer_norm_first:
             x = Fp32LayerNorm(epsilon=c.norm_eps, use_affine=c.norm_affine, name="norm")(x)
@@ -312,7 +326,7 @@ class PrenetEncoder(nn.Module):
             remat=self.remat,
             dtype=self.dtype,
             name="blocks",
-        )(x, padding_mask, bias, deterministic)
+        )(x, padding_mask, bias, deterministic, bias_scales=bias_scales)
         if c.layer_norm_first:
             x = Fp32LayerNorm(epsilon=c.norm_eps, use_affine=c.norm_affine, name="norm")(x)
         return x

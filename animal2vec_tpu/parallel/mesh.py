@@ -37,8 +37,8 @@ def build_mesh(
     dp = cfg.data_parallel if cfg else -1
     if dp == -1:
         dp = n // mp
-    assert dp * mp == n, f"mesh {dp}x{mp} != {n} devices"
-    arr = np.asarray(devices).reshape(dp, mp)
+    assert dp * mp <= n, f"mesh {dp}x{mp} needs more than {n} devices"
+    arr = np.asarray(devices[: dp * mp]).reshape(dp, mp)
     return Mesh(arr, ("data", "model"))
 
 

@@ -67,10 +67,13 @@ class CheckpointManager:
     def all_steps(self):
         out = []
         for name in os.listdir(self.directory):
-            if name.startswith("step_") and os.path.isdir(
-                os.path.join(self.directory, name)
+            suffix = name[len("step_"):]
+            if (
+                name.startswith("step_")
+                and suffix.isdigit()  # skip orbax .orbax-checkpoint-tmp dirs
+                and os.path.isdir(os.path.join(self.directory, name))
             ):
-                out.append(int(name.split("_")[1]))
+                out.append(int(suffix))
         return sorted(out)
 
     def latest_step(self) -> Optional[int]:
@@ -90,8 +93,11 @@ class CheckpointManager:
         if extra:
             tree["extra"] = extra
         if self._checkpointer is not None:
+            # an earlier async save of this step may still be finalizing;
+            # serialize before re-writing the same destination
+            self.wait()
             if os.path.exists(path):
-                shutil.rmtree(path)
+                shutil.rmtree(path, ignore_errors=True)
             self._checkpointer.save(path, tree)
         else:  # numpy fallback
             os.makedirs(path, exist_ok=True)
@@ -157,23 +163,52 @@ def _to_savable(state: Any) -> Any:
 
 
 def _restore_into(template: Any, loaded: Any) -> Any:
-    """Map loaded arrays back into the template pytree structure."""
-    import flax.traverse_util as tu
+    """Rebuild the template's pytree types (flax struct dataclasses, optax
+    NamedTuple states, tuples) from orbax's dict/tuple-of-arrays restore."""
+    return _align(template, loaded)
 
-    if not isinstance(loaded, dict):
-        return loaded
-    t_leaves, t_def = jax.tree_util.tree_flatten(template)
-    l_flat = tu.flatten_dict(loaded, sep="/") if isinstance(loaded, dict) else loaded
-    # orbax restores dicts keyed like the original structure; rebuild by
-    # flattening the template to paths.
-    t_flat = tu.flatten_dict(
-        jax.tree_util.tree_map(lambda x: x, _as_dict(template)), sep="/"
-    )
-    out = {}
-    for k, v in t_flat.items():
-        out[k] = l_flat.get(k, v)
-    rebuilt = tu.unflatten_dict({tuple(k.split("/")): v for k, v in out.items()})
-    return _from_dict(template, rebuilt)
+
+def _align(tpl: Any, val: Any) -> Any:
+    if hasattr(tpl, "__dataclass_fields__"):  # flax.struct dataclass
+        kwargs = {}
+        for f in tpl.__dataclass_fields__:
+            if f == "tx":
+                continue
+            sub = _get_child(val, f)
+            kwargs[f] = _align(getattr(tpl, f), sub)
+        return tpl.replace(**kwargs)
+    if isinstance(tpl, dict):
+        return {k: _align(v, _get_child(val, k)) for k, v in tpl.items()}
+    if isinstance(tpl, tuple) and hasattr(tpl, "_fields"):  # NamedTuple
+        vals = [
+            _align(getattr(tpl, f), _get_child(val, f, i))
+            for i, f in enumerate(tpl._fields)
+        ]
+        return type(tpl)(*vals)
+    if isinstance(tpl, (tuple, list)):
+        vals = [_align(t, _get_child(val, None, i)) for i, t in enumerate(tpl)]
+        return type(tpl)(vals) if isinstance(tpl, list) else tuple(vals)
+    if val is None:
+        return tpl
+    return val
+
+
+def _get_child(val: Any, name, index: int | None = None):
+    if isinstance(val, dict):
+        candidates = []
+        if name is not None:
+            candidates += [name, str(name)]
+        if index is not None:
+            candidates += [str(index), index]
+        for key in candidates:
+            if key in val:
+                return val[key]
+        return None
+    if isinstance(val, (tuple, list)):
+        if index is not None and index < len(val):
+            return val[index]
+        return None
+    return val
 
 
 def _as_dict(state):

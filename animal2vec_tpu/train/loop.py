@@ -1,0 +1,331 @@
+"""Training loop driver: epochs, validation, checkpoints, stopping.
+
+Replaces nn/audio_train_routine.py (the L1 layer): build everything from a
+Config, run the epoch/update loop with a single compiled step, trigger
+validation + verbose reports, save/rotate checkpoints, stop on max_update /
+patience / representation-collapse.
+
+TPU-first details:
+* one jitted step per phase (the finetune freeze schedule is a traced
+  comparison — no recompiles at the 10k boundary),
+* the variance kill-switch (nn/data2vec2.py:972-988) cannot raise inside
+  jit; metrics come back each log interval and the host raises
+  CollapseError (recovery = restart from the last checkpoint, same as the
+  reference),
+* metric host transfers happen only at log boundaries.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from animal2vec_tpu.config import Config
+from animal2vec_tpu.data.dataset import AudioLabelDataset, BatchLoader
+from animal2vec_tpu.evalx.reports import log_eval_report
+from animal2vec_tpu.evalx.segmentation import segmented_probs_and_targets, intervals_from_binary
+from animal2vec_tpu.ops.conv_arith import feature_extractor_out_length
+from animal2vec_tpu.parallel import build_mesh, batch_sharding, param_sharding, replicated
+from animal2vec_tpu.train.build import init_finetune, init_pretrain
+from animal2vec_tpu.train.checkpoint import CheckpointManager
+from animal2vec_tpu.train.finetune_step import (
+    make_finetune_eval_step,
+    make_finetune_train_step,
+)
+from animal2vec_tpu.train.metrics import MetricsAccumulator, TensorboardSink
+from animal2vec_tpu.train.pretrain import (
+    make_pretrain_eval_step,
+    make_pretrain_train_step,
+)
+
+logger = logging.getLogger("animal2vec_tpu")
+
+
+class CollapseError(RuntimeError):
+    """Representation collapse detected (nn/data2vec2.py:972-988)."""
+
+
+def _target_len(cfg: Config) -> int:
+    if cfg.task.max_sample_size:
+        return min(cfg.task.max_sample_size, 80_000 * 4)
+    return 80_000 if cfg.task.sample_rate == 8000 else 10 * cfg.task.sample_rate
+
+
+def _build_loader(cfg: Config, split: str, train: bool, accum: int) -> BatchLoader:
+    ds = AudioLabelDataset(
+        os.path.join(cfg.task.data, f"{split}.tsv"),
+        sample_rate=cfg.task.sample_rate,
+        min_sample_size=cfg.task.min_sample_size,
+        normalize=cfg.task.normalize,
+        return_labels=cfg.task.with_labels,
+        unique_labels=cfg.task.labels(),
+        use_focal_loss=cfg.criterion.use_focal_loss,
+        do_focal_prediction=cfg.task.do_focal_prediction,
+        min_label_size=cfg.task.min_label_size if train else 0,
+        conv_layers=cfg.task.conv_layers(),
+    )
+    return BatchLoader(
+        ds,
+        target_len=_target_len(cfg),
+        max_tokens=cfg.dataset.max_tokens,
+        batch_size=cfg.dataset.batch_size,
+        accum=accum if train else 1,
+        shuffle=train,
+        seed=cfg.common.seed,
+        num_workers=cfg.dataset.num_workers,
+        host_index=jax.process_index(),
+        host_count=jax.process_count(),
+        train=train,
+        drop_last=train,
+    )
+
+
+def _shard_batch(batch: Dict[str, np.ndarray], mesh, train: bool):
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    out = {}
+    for k, v in batch.items():
+        if k in ("id", "valid_len"):
+            continue
+        ndim = v.ndim
+        if train:  # leading accum dim
+            spec = P(None, "data", *([None] * (ndim - 2)))
+        else:
+            spec = P("data", *([None] * (ndim - 1)))
+        out[k] = jax.device_put(jnp.asarray(v), NamedSharding(mesh, spec))
+    return out
+
+
+def _check_collapse(cfg: Config, step: int, metrics: Dict[str, float]):
+    if step <= 5000:
+        return
+    tv = metrics.get("target_var")
+    if tv is not None and tv < cfg.model.min_target_var:
+        raise CollapseError(f"target var {tv:.4f} < {cfg.model.min_target_var}")
+    for k, v in metrics.items():
+        if k.startswith("pred_var") and v < cfg.model.min_pred_var:
+            raise CollapseError(f"{k} {v:.4f} < {cfg.model.min_pred_var}")
+
+
+class EarlyStopper:
+    """Patience-based early stop on the best checkpoint metric
+    (nn/audio_train_routine.py:233-258)."""
+
+    def __init__(self, patience: int, maximize: bool):
+        self.patience = patience
+        self.maximize = maximize
+        self.best: Optional[float] = None
+        self.bad = 0
+
+    def should_stop(self, value: Optional[float]) -> bool:
+        if value is None or self.patience <= 0:
+            return False
+        better = self.best is None or (
+            value > self.best if self.maximize else value < self.best
+        )
+        if better:
+            self.best = value
+            self.bad = 0
+        else:
+            self.bad += 1
+        return self.bad > self.patience
+
+
+def run_pretrain(cfg: Config, max_steps: Optional[int] = None) -> Dict[str, float]:
+    """Full pretraining run (animal2vec_audio_main + train, routine :48-383)."""
+    mesh = build_mesh(cfg.distributed)
+    model, state = init_pretrain(
+        cfg, jax.random.PRNGKey(cfg.common.seed), example_wav_len=_target_len(cfg)
+    )
+    ckpt = CheckpointManager(
+        cfg.checkpoint.save_dir,
+        keep_last=cfg.checkpoint.keep_last,
+        best_metric=cfg.checkpoint.best_checkpoint_metric,
+        maximize=cfg.checkpoint.maximize_best_checkpoint_metric,
+    )
+    loader_state = {}
+    if ckpt.latest_step() is not None:
+        state, extra = ckpt.restore(template=state)
+        loader_state = extra.get("loader", {})
+        logger.info("restored checkpoint at step %d", int(state.step))
+
+    shardings = param_sharding(state.params, mesh, fsdp=cfg.distributed.fsdp)
+    params_sh = jax.tree_util.tree_map(jax.device_put, state.params, shardings)
+    state = jax.tree_util.tree_map(lambda x: jax.device_put(x, replicated(mesh)), state)
+    state = state.replace(params=params_sh)
+
+    step_fn = jax.jit(make_pretrain_train_step(model, cfg), donate_argnums=(0,))
+    accum = max(1, cfg.optimization.update_freq)
+    loader = _build_loader(cfg, cfg.dataset.train_subset, True, accum)
+    loader.load_state_dict(loader_state)
+    sink = TensorboardSink(cfg.common.tensorboard_logdir)
+    acc = MetricsAccumulator()
+    limit = min(cfg.optimization.max_update, max_steps or cfg.optimization.max_update)
+    rng = jax.random.PRNGKey(cfg.common.seed + 17)
+    last = {}
+
+    with mesh:
+        while int(state.step) < limit:
+            loader.set_epoch(loader.epoch)
+            for batch in loader:
+                sb = _shard_batch(batch, mesh, train=True)
+                rng, sub = jax.random.split(rng)
+                state, metrics = step_fn(state, sb, sub)
+                acc.update(metrics)
+                step = int(state.step)
+                if step % cfg.common.log_interval == 0 or step >= limit:
+                    last = acc.summary("train/")
+                    sink.log(last, step)
+                    logger.info("step %d %s", step, _fmt(last))
+                    _check_collapse(
+                        cfg, step, {k.split("/", 1)[1]: v for k, v in last.items()}
+                    )
+                    acc.reset()
+                if cfg.checkpoint.save_interval_updates and step % cfg.checkpoint.save_interval_updates == 0:
+                    ckpt.save(step, state, extra={"loader": loader.state_dict()})
+                if step >= limit:
+                    break
+            loader.epoch += 1
+    ckpt.save(int(state.step), state, extra={"loader": loader.state_dict()})
+    ckpt.wait()
+    return last
+
+
+def run_finetune(
+    cfg: Config,
+    pretrained_params=None,
+    max_steps: Optional[int] = None,
+    patience: int = 0,
+) -> Dict[str, float]:
+    """Full finetuning run with validation + best-F1 checkpointing."""
+    mesh = build_mesh(cfg.distributed)
+    model, state = init_finetune(
+        cfg,
+        jax.random.PRNGKey(cfg.common.seed),
+        pretrained_params=pretrained_params,
+        example_wav_len=_target_len(cfg),
+    )
+    ckpt = CheckpointManager(
+        cfg.checkpoint.save_dir,
+        keep_last=cfg.checkpoint.keep_last,
+        best_metric=cfg.checkpoint.best_checkpoint_metric or "metrics/finetune/f1",
+        maximize=True,
+    )
+    if ckpt.latest_step() is not None:
+        state, _ = ckpt.restore(template=state)
+        logger.info("restored checkpoint at step %d", int(state.step))
+
+    shardings = param_sharding(state.params, mesh, fsdp=cfg.distributed.fsdp)
+    params_sh = jax.tree_util.tree_map(jax.device_put, state.params, shardings)
+    state = jax.tree_util.tree_map(lambda x: jax.device_put(x, replicated(mesh)), state)
+    state = state.replace(params=params_sh)
+
+    step_fn = jax.jit(make_finetune_train_step(model, cfg), donate_argnums=(0,))
+    eval_fn = jax.jit(make_finetune_eval_step(model, cfg))
+    accum = max(1, cfg.optimization.update_freq)
+    loader = _build_loader(cfg, cfg.dataset.train_subset, True, accum)
+    sink = TensorboardSink(cfg.common.tensorboard_logdir)
+    acc = MetricsAccumulator()
+    limit = min(cfg.optimization.max_update, max_steps or cfg.optimization.max_update)
+    rng = jax.random.PRNGKey(cfg.common.seed + 23)
+    stopper = EarlyStopper(patience, True)
+    last = {}
+
+    with mesh:
+        while int(state.step) < limit:
+            loader.set_epoch(loader.epoch)
+            for batch in loader:
+                sb = _shard_batch(batch, mesh, train=True)
+                rng, sub = jax.random.split(rng)
+                state, metrics = step_fn(state, sb, sub)
+                acc.update(metrics)
+                step = int(state.step)
+                if step % cfg.common.log_interval == 0 or step >= limit:
+                    last = acc.summary("train/")
+                    sink.log(last, step)
+                    logger.info("step %d %s", step, _fmt(last))
+                    acc.reset()
+                do_validate = (
+                    not cfg.dataset.disable_validation
+                    and step >= cfg.dataset.validate_after_updates
+                    and cfg.dataset.validate_interval_updates
+                    and step % cfg.dataset.validate_interval_updates == 0
+                )
+                if do_validate:
+                    val = validate_finetune(cfg, model, state, eval_fn, mesh, sink, step)
+                    ckpt.save(
+                        step, state, extra={"loader": loader.state_dict()}, metrics=val
+                    )
+                    if stopper.should_stop(val.get("metrics/finetune/f1")):
+                        logger.info("early stop at %d", step)
+                        ckpt.wait()
+                        return val
+                elif cfg.checkpoint.save_interval_updates and step % cfg.checkpoint.save_interval_updates == 0:
+                    ckpt.save(step, state, extra={"loader": loader.state_dict()})
+                if step >= limit:
+                    break
+            loader.epoch += 1
+    ckpt.save(int(state.step), state)
+    ckpt.wait()
+    return last
+
+
+def validate_finetune(cfg, model, state, eval_fn, mesh, sink, step) -> Dict[str, float]:
+    """Validation pass (routine :471-560): metric aggregation, then verbose
+    frame + segmented reports on the gathered prediction tensors."""
+    loader = _build_loader(cfg, cfg.dataset.valid_subset, False, 1)
+    acc = MetricsAccumulator()
+    all_probs, all_targets = [], []
+    rng = jax.random.PRNGKey(0)
+    with mesh:
+        for batch in loader:
+            sb = _shard_batch(batch, mesh, train=False)
+            metrics = eval_fn(state, sb, rng)
+            preds = metrics.pop("_predictions", None)
+            acc.update(metrics)
+            if preds is not None and cfg.task.verbose_tensorboard_logging:
+                all_probs.append(np.asarray(preds))
+                all_targets.append(np.asarray(batch["target"]))
+    out = acc.summary()
+    if all_probs:
+        probs = np.concatenate(all_probs, 0)
+        targets = np.concatenate(all_targets, 0)
+        segmented = None
+        if cfg.criterion.segmentation_metrics:
+            md = {
+                "sigma_s": cfg.criterion.sigma_s,
+                "metric_threshold": cfg.criterion.metric_threshold,
+                "maxfilt_s": cfg.criterion.maxfilt_s,
+                "max_duration_s": cfg.criterion.max_duration_s,
+                "lowP": cfg.criterion.lowP,
+                "iou_threshold": cfg.criterion.iou_threshold,
+            }
+            seg_idx = [
+                [intervals_from_binary(targets[b, :, c]) for c in range(targets.shape[-1])]
+                for b in range(targets.shape[0])
+            ]
+            pr, ta, iou, sp, me = segmented_probs_and_targets(
+                targets, seg_idx, probs, md, cfg.task.sample_rate, _target_len(cfg),
+                method=cfg.criterion.method,
+            )
+            segmented = {"probs": pr, "targets": ta, "iou": iou, "splits": sp, "mergers": me}
+        report = log_eval_report(
+            targets, probs, cfg.task.labels(), cfg.criterion.metric_threshold,
+            step, writer=sink.writer, prefix="valid", segmented=segmented,
+        )
+        out.update(report)
+    sink.log(out, step)
+    logger.info("valid %d %s", step, _fmt(out))
+    return out
+
+
+def _fmt(metrics: Dict[str, float]) -> str:
+    keys = sorted(metrics)[:12]
+    return " ".join(f"{k}={metrics[k]:.4g}" for k in keys)

@@ -25,8 +25,10 @@ from animal2vec_tpu.ops.stats import get_annealed_rate
 def ema_subset(params: Any, ema_encoder_only: bool) -> Any:
     """Extract the teacher subtree (see models.data2vec2.ema_param_label)."""
     flat = tu.flatten_dict(params)
+    # copy=True: the teacher must not alias the student buffers (aliased
+    # leaves break XLA donation and would silently tie the trees)
     sub = {
-        p: jnp.asarray(v, jnp.float32)
+        p: jnp.array(v, jnp.float32, copy=True)
         for p, v in flat.items()
         if ema_param_label(tuple(str(x) for x in p), ema_encoder_only)
     }

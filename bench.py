@@ -35,26 +35,39 @@ def main():
     params = model.init({"params": rng}, jnp.zeros((1, wav_len)))
     params = jax.device_put(params)
 
-    @jax.jit
-    def forward(params, source):
-        return model.apply(params, source)["encoder_out"]
-
-    src = jnp.asarray(
-        np.random.default_rng(0).normal(size=(batch, wav_len)).astype(np.float32)
-    )
-
-    # warmup + compile
-    forward(params, src).block_until_ready()
-    forward(params, src).block_until_ready()
-
     iters = int(os.environ.get("A2V_BENCH_ITERS", "10"))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = forward(params, src)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
 
-    clips_per_sec = batch * iters / dt
+    # One jitted scan of `iters` forwards with a sequential data dependency:
+    # prevents the runtime from eliding/deduplicating identical pure calls
+    # and measures steady-state throughput in a single device program.
+    @jax.jit
+    def bench_fn(params, source):
+        def body(s, _):
+            out = model.apply(params, s)["encoder_out"]
+            s = s + (out.mean() * 0.0).astype(s.dtype)
+            return s, out[0, 0, 0]
+        _, probe = jax.lax.scan(body, source, None, length=iters)
+        return probe
+
+    rng_np = np.random.default_rng(0)
+    srcs = [
+        jnp.asarray(rng_np.normal(size=(batch, wav_len)).astype(np.float32))
+        for _ in range(3)
+    ]
+    srcs = [jax.device_put(s) for s in srcs]
+
+    # warmup/compile on srcs[0]; time on fresh inputs (the remote runtime
+    # memoizes identical pure calls, so repeated-same-input timing is bogus),
+    # and materialize results on the host (block_until_ready alone does not
+    # force execution through the remote relay)
+    np.asarray(bench_fn(params, srcs[0]))
+    t0 = time.perf_counter()
+    p1 = np.asarray(bench_fn(params, srcs[1]))
+    p2 = np.asarray(bench_fn(params, srcs[2]))
+    dt = time.perf_counter() - t0
+    assert np.isfinite(p1).all() and np.isfinite(p2).all()
+
+    clips_per_sec = batch * iters * 2 / dt
     print(
         json.dumps(
             {

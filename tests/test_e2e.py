@@ -1,0 +1,205 @@
+"""End-to-end slice tests (SURVEY §7 minimum slices): synthetic dataset ->
+manifest CLI -> short finetune run through the real training loop ->
+long-file inference CLI -> export CLI. Everything drives the same entry
+points a user would."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from animal2vec_tpu.config import (
+    CheckpointConfig,
+    Config,
+    CriterionConfig,
+    DatasetConfig,
+    FinetuneModelConfig,
+    MixupConfig,
+    OptimizationConfig,
+    TaskConfig,
+    resolve,
+)
+from animal2vec_tpu.data.synthetic import generate
+from tests.test_models import tiny_model_cfg
+
+TINY_CONV = "[(9, 7, 1)] + [(16, 4, 2)] + [(16, 3, 2)]"
+LABELS_STR = "['beep', 'synch', 'sn', 'cc', 'ld', 'oth', 'mo', 'al', 'soc', 'agg', 'eating', 'focal']"
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("e2e"))
+    generate(root, n_clips=8, clip_seconds=2.0, seed=1)
+    return root
+
+
+def e2e_config(data_root, ckpt_dir):
+    from animal2vec_tpu.config import DistributedConfig
+
+    cfg = Config()
+    # single-device mesh: the test VM has 1 CPU core, so multi-device CPU
+    # collectives serialize pathologically; sharded-step correctness is
+    # covered by test_train.TestShardedStep and __graft_entry__ dryrun.
+    cfg.distributed = DistributedConfig(data_parallel=1, model_parallel=1)
+    cfg.task = TaskConfig(
+        data=data_root,
+        unique_labels=LABELS_STR,
+        conv_feature_layers=TINY_CONV,
+        with_labels=True,
+        sample_rate=8000,
+        max_sample_size=16_000,
+        verbose_tensorboard_logging=True,
+    )
+    cfg.dataset = DatasetConfig(
+        batch_size=2, max_tokens=None, num_workers=1,
+        train_subset="train_0", valid_subset="valid_0",
+        validate_interval_updates=4, validate_after_updates=0,
+    )
+    cfg.model = tiny_model_cfg()
+    cfg.model.unique_labels = LABELS_STR
+    cfg.criterion = CriterionConfig(
+        use_focal_loss=True, metric_threshold=0.2, segmentation_metrics=True,
+        report_accuracy=True,
+    )
+    cfg.optimization = OptimizationConfig(
+        lr=1e-3, max_update=6, warmup_updates=2, update_freq=1,
+        weight_decay=0.0, adam_eps=1e-8,
+    )
+    cfg.checkpoint = CheckpointConfig(save_dir=ckpt_dir, save_interval_updates=3, keep_last=2)
+    cfg.common.log_interval = 2
+    cfg.finetune = FinetuneModelConfig(
+        apply_mask=True, mask_prob=0.5, mask_length=2,
+        average_top_k_layers=2, mixup=MixupConfig(source_mixup=0.5, mixup_prob=1.0, target_mixup=True),
+    )
+    return resolve(cfg)
+
+
+class TestManifestCLI:
+    def test_generate_manifests(self, data_root, tmp_path):
+        from animal2vec_tpu.tools.manifest_cli import main
+
+        dest = str(tmp_path / "manifests")
+        main([
+            "--root", data_root, "--dest", dest,
+            "--valid-percent", "0.25", "--n-split", "1", "--few-shot",
+        ])
+        files = sorted(os.listdir(dest))
+        assert "pretrain.tsv" in files
+        assert "train_0.tsv" in files and "valid_0.tsv" in files
+        assert "train_0_few_0.tsv" in files and "train_0_few_4.tsv" in files
+        from animal2vec_tpu.data.manifest import read_manifest
+
+        _, tr = read_manifest(os.path.join(dest, "train_0.tsv"))
+        _, va = read_manifest(os.path.join(dest, "valid_0.tsv"))
+        assert len(tr) + len(va) == 8
+        assert 1 <= len(va) <= 3  # ~25% of 8, stratified rounding
+
+
+@pytest.fixture(scope="module")
+def trained_ckpt(data_root, tmp_path_factory):
+    """One short finetune run shared by the loop/infer/export tests — the
+    expensive jit compile happens once on the 1-core test VM."""
+    from animal2vec_tpu.train.loop import run_finetune
+
+    ckpt = str(tmp_path_factory.mktemp("shared") / "ckpt")
+    cfg = e2e_config(data_root, ckpt)
+    out = run_finetune(cfg, max_steps=4)
+    return ckpt, cfg, out
+
+
+class TestFinetuneLoop:
+    def test_run_validated_and_checkpointed(self, trained_ckpt):
+        from animal2vec_tpu.train.checkpoint import CheckpointManager
+
+        ckpt, cfg, out = trained_ckpt
+        assert out, "no metrics returned"
+        # validation produced derived metrics + mAP
+        assert any("f1" in k or "mAP" in k for k in out), out.keys()
+        assert CheckpointManager(ckpt).latest_step() == 4
+
+    def test_resume_from_checkpoint(self, trained_ckpt):
+        from animal2vec_tpu.train.loop import run_finetune
+        from animal2vec_tpu.train.checkpoint import CheckpointManager
+
+        ckpt, cfg, _ = trained_ckpt
+        run_finetune(cfg, max_steps=6)  # restores at 4, continues to 6
+        assert CheckpointManager(ckpt).latest_step() == 6
+
+
+class TestPretrainLoop:
+    def test_short_pretrain_run(self, data_root, tmp_path):
+        from animal2vec_tpu.train.loop import run_pretrain
+
+        cfg = e2e_config(data_root, str(tmp_path / "pre"))
+        cfg.task.with_labels = False
+        cfg.dataset.train_subset = "pretrain"
+        cfg.dataset.disable_validation = True
+        cfg.model.clone_batch = 2
+        cfg = resolve(cfg)
+        out = run_pretrain(cfg, max_steps=4)
+        assert "train/loss" in out
+        assert np.isfinite(out["train/loss"])
+        assert out["train/target_var"] > 0.01
+
+
+class TestInferCLI:
+    def test_long_file_events(self, data_root, trained_ckpt, tmp_path):
+        from animal2vec_tpu.tools import infer_cli
+        from animal2vec_tpu.data.wavio import read_wav, write_wav
+        from animal2vec_tpu.config import save_config
+
+        ckpt, cfg, _ = trained_ckpt
+        wav0, sr = read_wav(os.path.join(data_root, "wav/08000Hz/clip_0000.wav"))
+        long_wav = np.tile(wav0, 5)
+        wav_path = str(tmp_path / "long.wav")
+        write_wav(wav_path, long_wav, sr)
+        cfg_path = str(tmp_path / "cfg.yaml")
+        save_config(cfg, cfg_path)
+        out_path = str(tmp_path / "events.json")
+        infer_cli.main([
+            "--wav", wav_path, "--checkpoint", ckpt, "--config", cfg_path,
+            "--threshold", "0.05", "--out", out_path,
+            "--max-batch-size", "2",
+            f"task.max_sample_size=16000",
+        ])
+        events = json.load(open(out_path))
+        assert set(events) == set(cfg.task.labels())
+        all_ev = [e for v in events.values() for e in v]
+        # untrained-ish model: just require structural sanity + absolute times
+        for ev in all_ev:
+            assert 0 <= ev["onset_s"] <= ev["offset_s"] <= 10.1
+            assert 0 <= ev["likelihood"] <= 1
+
+
+class TestExportCLI:
+    def test_export_predictions_and_embeddings(self, data_root, trained_ckpt, tmp_path):
+        import h5py
+
+        from animal2vec_tpu.tools import export_cli
+        from animal2vec_tpu.config import save_config
+
+        ckpt, cfg, _ = trained_ckpt
+        cfg_path = str(tmp_path / "cfg.yaml")
+        save_config(cfg, cfg_path)
+        out_dir = str(tmp_path / "export")
+        export_cli.main([
+            "--manifest-path", data_root, "--split", "valid_0",
+            "--checkpoint", ckpt, "--config", cfg_path, "--out-path", out_dir,
+            "--export-predictions", "--export-embeddings",
+            "--batch-size", "2", "--average-end-k-layers", "2",
+            "task.max_sample_size=16000",
+        ])
+        files = os.listdir(out_dir)
+        pred = [f for f in files if f.startswith("predictions")]
+        emb = [f for f in files if f.startswith("embeddings")]
+        assert pred and emb
+        with h5py.File(os.path.join(out_dir, pred[0])) as f:
+            keys = list(f.keys())
+            assert len(keys) == 2
+            grp = f[keys[0]]
+            assert grp["likelihood"].shape == grp["target"].shape
+            assert "segmented_likelihood" in grp
+        with h5py.File(os.path.join(out_dir, emb[0])) as f:
+            grp = f[list(f.keys())[0]]
+            assert grp["embedding"].shape[-1] == 32
