@@ -21,27 +21,35 @@ import jax.numpy as jnp
 NEG_INF = -1e10
 
 
-class AlibiSpec(NamedTuple):
+import flax.struct
+
+
+@flax.struct.dataclass
+class AlibiSpec:
     """Structured ALiBi bias: ``bias[b,h,i,j] = -slopes[h] * |pos[b,i] -
     pos[b,j]|`` (zero when either position is the -1 extra-token sentinel).
 
     Carrying (slopes, positions) instead of a dense (B,H,T,T) tensor is what
     lets the Pallas kernel compute the bias inline; it also expresses the
     reference's masked_alibi gather (nn/modalities/base.py:681-698) as plain
-    position gathering."""
+    position gathering. ``has_sentinel`` is static so the kernel can skip
+    the sentinel select when no extra tokens exist."""
 
     slopes: jnp.ndarray     # (H,) scaled per-head slopes
     positions: jnp.ndarray  # (B, T) int32
+    has_sentinel: bool = flax.struct.field(pytree_node=False, default=False)
 
     def scale_heads(self, scale: jnp.ndarray) -> "AlibiSpec":
-        return self._replace(slopes=self.slopes * scale.reshape(-1))
+        return self.replace(slopes=self.slopes * scale.reshape(-1))
 
     def densify(self) -> jnp.ndarray:
         """(B, H, T, T) dense bias — the XLA/CPU fallback path."""
         pos = self.positions.astype(jnp.float32)
         dist = jnp.abs(pos[:, :, None] - pos[:, None, :])
-        sentinel = (pos[:, :, None] < 0) | (pos[:, None, :] < 0)
-        base = jnp.where(sentinel, 0.0, -dist)
+        base = -dist
+        if self.has_sentinel:
+            sentinel = (pos[:, :, None] < 0) | (pos[:, None, :] < 0)
+            base = jnp.where(sentinel, 0.0, base)
         return base[:, None] * self.slopes.astype(jnp.float32)[None, :, None, None]
 
 
@@ -183,7 +191,8 @@ def multihead_attention(
             from animal2vec_tpu.ops.pallas_attention import alibi_flash_attention
 
             return alibi_flash_attention(
-                q, k, v, bias.slopes, bias.positions, padding_mask, use_pallas
+                q, k, v, bias.slopes, bias.positions, padding_mask,
+                use_pallas, bias.has_sentinel,
             )
         bias = bias.densify()
     use_flash = impl == "flash" or (

@@ -194,7 +194,7 @@ class AudioEncoder(nn.Module):
             return bias * scale[0].reshape(-1, 1, 1), None
         return bias, scale
 
-    def alibi_spec(self, positions: jnp.ndarray):
+    def alibi_spec(self, positions: jnp.ndarray, has_sentinel: bool = False):
         """Structured ALiBi (slopes x positions) for the Pallas kernel path:
         returns (AlibiSpec, per-layer scales or None). The global learned
         scale folds into the slope vector; per-layer scales are applied
@@ -208,8 +208,11 @@ class AudioEncoder(nn.Module):
         slopes = jnp.asarray(alibi_slopes(self.cfg.num_alibi_heads))
         scale = jnp.clip(self.alibi_scale.astype(jnp.float32), 0.0, None)
         if scale.shape[0] == 1:
-            return AlibiSpec(slopes * scale[0].reshape(-1), positions), None
-        return AlibiSpec(slopes, positions), scale
+            return (
+                AlibiSpec(slopes * scale[0].reshape(-1), positions, has_sentinel),
+                None,
+            )
+        return AlibiSpec(slopes, positions, has_sentinel), scale
 
     def feature_length(self, wav_len: int) -> int:
         return feature_extractor_out_length(wav_len, self._conv_layers)

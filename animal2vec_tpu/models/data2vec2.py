@@ -246,7 +246,7 @@ class Data2VecMulti(nn.Module):
                 positions = jnp.pad(
                     positions, ((0, 0), (num_extra, 0)), constant_values=-1
                 )
-            bias, scales = enc.alibi_spec(positions)
+            bias, scales = enc.alibi_spec(positions, has_sentinel=num_extra > 0)
         else:
             bias, scales = self._alibi(mode, t)
             if bias is not None:

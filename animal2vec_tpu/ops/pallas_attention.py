@@ -54,6 +54,10 @@ def _kernel(
     *,
     sm_scale: float,
     n_k: int,
+    block_q: int,
+    block_k: int,
+    has_sentinel: bool,
+    has_mask: bool,
 ):
     ki = pl.program_id(3)
 
@@ -63,22 +67,27 @@ def _kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0, 0].astype(jnp.float32)  # (bq, d)
-    k = k_ref[0, 0].astype(jnp.float32)  # (bk, d)
+    # keep q/k in their storage dtype (bf16) so the MXU runs native bf16
+    # matmuls with fp32 accumulation; only softmax runs in fp32
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
     s = jax.lax.dot_general(
-        q * sm_scale, k,
+        q * jnp.asarray(sm_scale, q.dtype), k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (bq, bk)
+    )  # (bq, bk) fp32
 
     slope = slope_ref[pl.program_id(1), 0]
     pos_q = pos_q_ref[0, 0][:, None].astype(jnp.float32)  # (bq, 1)
     pos_k = pos_k_ref[0, 0][None, :].astype(jnp.float32)  # (1, bk)
     bias = -slope * jnp.abs(pos_q - pos_k)
-    # extra tokens carry sentinel position < 0 -> zero bias either side
-    sentinel = jnp.logical_or(pos_q < 0, pos_k < 0)
-    s = s + jnp.where(sentinel, 0.0, bias)
-    s = jnp.where(mask_ref[0, 0][None, :] != 0, NEG_INF, s)
+    if has_sentinel:
+        # extra tokens carry sentinel position < 0 -> zero bias either side
+        sentinel = jnp.logical_or(pos_q < 0, pos_k < 0)
+        bias = jnp.where(sentinel, 0.0, bias)
+    s = s + bias
+    if has_mask:
+        s = jnp.where(mask_ref[0, 0][None, :] != 0, NEG_INF, s)
 
     m_prev = m_scr[...]  # (bq, 1)
     m_cur = jnp.max(s, axis=1, keepdims=True)
@@ -86,8 +95,9 @@ def _kernel(
     alpha = jnp.exp(m_prev - m_new)
     p = jnp.exp(s - m_new)  # (bq, bk)
     l_new = alpha * l_scr[...] + jnp.sum(p, axis=1, keepdims=True)
+    v_blk = v_ref[0, 0]
     acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
-        p, v_ref[0, 0].astype(jnp.float32),
+        p.astype(v_blk.dtype), v_blk,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -107,11 +117,14 @@ def _pallas_forward(
     slopes: jnp.ndarray,  # (H,) scaled slopes (>=0)
     positions: jnp.ndarray,  # (B, T) int32; -1 = extra token
     padding_mask: Optional[jnp.ndarray],  # (B, T) bool, True = pad
-    block_q: int = 256,
-    block_k: int = 512,
+    block_q: int = 1024,
+    block_k: int = 2048,
+    has_sentinel: bool = True,
 ) -> jnp.ndarray:
     b, t, h, d = q.shape
     dtype = q.dtype
+    # block sizes stay multiples of 128 (lane rule for the position/mask
+    # vectors); t is padded up to a block multiple with masked keys
     block_q = min(block_q, _ceil_to(t, 128))
     block_k = min(block_k, _ceil_to(t, 128))
     t_pad = _ceil_to(t, max(block_q, block_k))
@@ -142,8 +155,18 @@ def _pallas_forward(
 
     grid = (b, h, n_q, n_k)
     interpret = jax.default_backend() != "tpu"  # CPU tests run interpreted
+    # key padding only matters when a padding mask exists or we padded t
+    mask_needed = padding_mask is not None or t_pad != t
     out = pl.pallas_call(
-        functools.partial(_kernel, sm_scale=d**-0.5, n_k=n_k),
+        functools.partial(
+            _kernel,
+            sm_scale=d**-0.5,
+            n_k=n_k,
+            block_q=block_q,
+            block_k=block_k,
+            has_sentinel=has_sentinel,
+            has_mask=mask_needed,
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((h, 1), lambda bi, hi, qi, ki: (0, 0), memory_space=pltpu.SMEM),
@@ -189,9 +212,10 @@ def _reference_attention(q, k, v, slopes, positions, padding_mask):
     return jnp.einsum("bhqk,bkhd->bqhd", probs.astype(q.dtype), v)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
 def alibi_flash_attention(
-    q, k, v, slopes, positions, padding_mask, use_pallas: bool = True
+    q, k, v, slopes, positions, padding_mask,
+    use_pallas: bool = True, has_sentinel: bool = True,
 ):
     """Flash attention with inline ALiBi from positions.
 
@@ -200,16 +224,20 @@ def alibi_flash_attention(
     padding_mask: optional (B, T) bool.
     """
     if use_pallas:
-        return _pallas_forward(q, k, v, slopes, positions, padding_mask)
+        return _pallas_forward(
+            q, k, v, slopes, positions, padding_mask, has_sentinel=has_sentinel
+        )
     return _reference_attention(q, k, v, slopes, positions, padding_mask)
 
 
-def _fwd(q, k, v, slopes, positions, padding_mask, use_pallas):
-    out = alibi_flash_attention(q, k, v, slopes, positions, padding_mask, use_pallas)
+def _fwd(q, k, v, slopes, positions, padding_mask, use_pallas, has_sentinel):
+    out = alibi_flash_attention(
+        q, k, v, slopes, positions, padding_mask, use_pallas, has_sentinel
+    )
     return out, (q, k, v, slopes, positions, padding_mask)
 
 
-def _bwd(use_pallas, res, g):
+def _bwd(use_pallas, has_sentinel, res, g):
     q, k, v, slopes, positions, padding_mask = res
     _, vjp = jax.vjp(
         lambda q_, k_, v_, s_: _reference_attention(

@@ -35,7 +35,8 @@ def main():
     params = model.init({"params": rng}, jnp.zeros((1, wav_len)))
     params = jax.device_put(params)
 
-    iters = int(os.environ.get("A2V_BENCH_ITERS", "10"))
+    # enough scan iterations to amortize the remote-dispatch overhead
+    iters = int(os.environ.get("A2V_BENCH_ITERS", "40"))
 
     # One jitted scan of `iters` forwards with a sequential data dependency:
     # prevents the runtime from eliding/deduplicating identical pure calls
