@@ -91,6 +91,28 @@ class AudioLabelDataset:
     def __len__(self) -> int:
         return len(self.names)
 
+    def targets_for(self, index: int, wav_len: Optional[int] = None) -> np.ndarray:
+        """Frame targets from the label file alone (wav length comes from the
+        manifest) — lets the native batch decoder skip the Python wav read."""
+        wav_len = wav_len if wav_len is not None else int(self.sizes[index])
+        lp = audio_path_to_label_path(
+            os.path.join(self.root, self.names[index]), lblext=self.label_ext
+        )
+        lbl = read_label_file(lp)
+        return frame_targets(
+            wav_len=wav_len,
+            num_classes=len(self.unique_labels),
+            starts=lbl.get("start_frame_lbl", []),
+            ends=lbl.get("end_frame_lbl", []),
+            cats=lbl.get("lbl_cat", []),
+            conv_layers=self.conv_layers,
+            focal=lbl.get("foc", []),
+            multilabel=self.use_focal_loss,
+            do_focal_prediction=self.do_focal_prediction
+            and bool(self.unique_labels)
+            and self.unique_labels[-1].lower() == "focal",
+        )
+
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         rel = self.names[index]
         wav, sr = read_wav(os.path.join(self.root, rel))
@@ -104,21 +126,7 @@ class AudioLabelDataset:
             wav = layer_norm_1d(wav)
         item: Dict[str, np.ndarray] = {"id": np.int64(index), "source": wav.astype(np.float32)}
         if self.return_labels:
-            lp = audio_path_to_label_path(os.path.join(self.root, rel), lblext=self.label_ext)
-            lbl = read_label_file(lp)
-            item["target"] = frame_targets(
-                wav_len=len(wav),
-                num_classes=len(self.unique_labels),
-                starts=lbl.get("start_frame_lbl", []),
-                ends=lbl.get("end_frame_lbl", []),
-                cats=lbl.get("lbl_cat", []),
-                conv_layers=self.conv_layers,
-                focal=lbl.get("foc", []),
-                multilabel=self.use_focal_loss,
-                do_focal_prediction=self.do_focal_prediction
-                and bool(self.unique_labels)
-                and self.unique_labels[-1].lower() == "focal",
-            )
+            item["target"] = self.targets_for(index, len(wav))
         return item
 
 
@@ -160,6 +168,7 @@ class BatchLoader:
         host_index: int = 0,
         host_count: int = 1,
         train: bool = True,
+        use_native: bool = True,
     ):
         assert batch_size or max_tokens
         self.dataset = dataset
@@ -174,6 +183,14 @@ class BatchLoader:
         self.host_count = host_count
         self.train = train
         self.epoch = 0
+        self._native = False
+        if use_native:
+            try:
+                from animal2vec_tpu.runtime import native_available
+
+                self._native = native_available()
+            except Exception:
+                self._native = False
         if dataset.return_labels:
             self.target_frames = label_frame_length(target_len, dataset.conv_layers)
 
@@ -208,18 +225,51 @@ class BatchLoader:
         clip, start, valid = pad_or_crop(wav, self.target_len, rng, self.train)
         out = {"id": item["id"], "source": clip, "valid_len": np.int64(valid)}
         if "target" in item:
-            tgt = item["target"]
-            tf = self.target_frames
-            scale = len(tgt) / max(1, len(wav))
-            t_start = int(round(start * scale))
-            if len(tgt) >= t_start + tf:
-                tgt = tgt[t_start: t_start + tf]
-            else:
-                padded = np.zeros((tf,) + tgt.shape[1:], dtype=tgt.dtype)
-                padded[: len(tgt) - t_start] = tgt[t_start:]
-                tgt = padded
-            out["target"] = tgt
+            out["target"] = self._crop_target(item["target"], len(wav), start)
         return out
+
+    def _crop_target(self, tgt: np.ndarray, wav_len: int, start: int) -> np.ndarray:
+        """Crop the feature-rate target aligned with the waveform crop."""
+        tf = self.target_frames
+        scale = len(tgt) / max(1, wav_len)
+        t_start = int(round(start * scale))
+        if len(tgt) >= t_start + tf:
+            return tgt[t_start: t_start + tf]
+        padded = np.zeros((tf,) + tgt.shape[1:], dtype=tgt.dtype)
+        padded[: len(tgt) - t_start] = tgt[t_start:]
+        return padded
+
+    def _make_group_native(self, idxs, seed: int) -> List[Dict[str, np.ndarray]]:
+        """Batch decode via the C++ runtime (runtime/a2v_runtime.cc), then
+        attach aligned frame targets."""
+        import os
+
+        from animal2vec_tpu.runtime import decode_batch
+
+        ds = self.dataset
+        paths = [os.path.join(ds.root, ds.names[int(i)]) for i in idxs]
+        out, valid, starts = decode_batch(
+            paths,
+            self.target_len,
+            normalize=ds.normalize,
+            train=self.train,
+            seed=seed,
+            expected_sr=ds.sample_rate,
+        )
+        items = []
+        for j, i in enumerate(idxs):
+            item = {
+                "id": np.int64(i),
+                "source": out[j],
+                "valid_len": np.int64(valid[j]),
+            }
+            if ds.return_labels:
+                wav_len = int(ds.sizes[int(i)])
+                item["target"] = self._crop_target(
+                    ds.targets_for(int(i), wav_len), wav_len, int(starts[j])
+                )
+            items.append(item)
+        return items
 
     def _collate(self, items: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
         batch = {
@@ -252,8 +302,11 @@ class BatchLoader:
                 if task is None:
                     return
                 pos, idxs, seed = task
-                w_rng = np.random.default_rng(seed)
-                items = [self._make_item(i, w_rng) for i in idxs]
+                if self._native:
+                    items = self._make_group_native(idxs, seed)
+                else:
+                    w_rng = np.random.default_rng(seed)
+                    items = [self._make_item(i, w_rng) for i in idxs]
                 # pad the final short group by repeating items
                 while len(items) < group:
                     items.append(items[len(items) % max(1, len(idxs))])

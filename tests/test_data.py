@@ -129,8 +129,9 @@ class TestDataset:
         batches = list(loader)
         assert len(batches) == len(loader) == 3
         for b in batches:
-            assert b["source"].shape == (2, 16_000)
-            assert b["target"].shape == (2, 400, 12)
+            # training batches always carry the leading grad-accum axis
+            assert b["source"].shape == (1, 2, 16_000)
+            assert b["target"].shape == (1, 2, 400, 12)
         # same epoch -> same order; next epoch -> different
         ids0 = [b["id"].tolist() for b in loader]
         loader.set_epoch(0)
@@ -158,7 +159,9 @@ class TestDataset:
 
     def test_crop_and_pad(self, synth_root):
         ds = AudioLabelDataset(os.path.join(synth_root, "pretrain.tsv"))
-        short = BatchLoader(ds, target_len=8_000, batch_size=2, num_workers=1)
+        short = BatchLoader(
+            ds, target_len=8_000, batch_size=2, num_workers=1, train=False
+        )
         b = next(iter(short))
         assert b["source"].shape == (2, 8_000)
         long = BatchLoader(
