@@ -136,7 +136,18 @@ class Data2VecMulti(nn.Module):
         else:
             self.shared_decoder = None
         if cfg.recon_loss > 0:
-            self.recon_proj = nn.Dense(cfg.embed_dim, dtype=self.dtype)
+            # project to the patchified pixel dim. The reference projects
+            # embed->embed and relies on p^2*in_chans == embed
+            # (nn/data2vec2.py:303-305,883-902); for the canonical 224/16
+            # image config they coincide, so this generalization is
+            # parity-preserving.
+            img = cfg.modalities.image
+            recon_dim = (
+                img.patch_size**2 * img.in_chans
+                if "IMAGE" in self.modalities
+                else cfg.embed_dim
+            )
+            self.recon_proj = nn.Dense(recon_dim, dtype=self.dtype)
         else:
             self.recon_proj = None
 
@@ -157,6 +168,8 @@ class Data2VecMulti(nn.Module):
         )
         x, taps, _ = self.encode(local, mode, info, remove_masked=True)
         outs = self.decode_d2v(x, mode, info)
+        if self.recon_proj is not None and outs:
+            self.recon_head(outs[0])
         if self.cfg.with_labels:
             self.linear_eval(taps, mode, None)
         return outs[0] if outs else x
@@ -379,6 +392,10 @@ class Data2VecMulti(nn.Module):
                 taps, mode, None, deterministic
             )
         return out
+
+    def recon_head(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Reconstruction projection (nn/data2vec2.py:896-898)."""
+        return self.recon_proj(x) if self.recon_proj is not None else x
 
     def patchify_targets(self, imgs: jnp.ndarray) -> jnp.ndarray:
         """Recon-loss targets for the image modality

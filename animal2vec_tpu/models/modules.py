@@ -63,12 +63,13 @@ def drop_path(
 ) -> jnp.ndarray:
     """Stochastic depth on the residual branch (timm DropPath semantics,
     consumed at nn/modalities/modules.py:309). ``rate`` may be a traced
-    scalar (per-layer rate inside lax.scan)."""
-    if deterministic:
+    scalar (per-layer rate inside lax.scan); output dtype always matches x."""
+    if deterministic or (isinstance(rate, float) and rate == 0.0):
         return x
     keep = 1.0 - rate
     mask = jax.random.bernoulli(rng, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
-    return jnp.where(mask, x / jnp.maximum(keep, 1e-6), jnp.zeros_like(x))
+    inv_keep = jnp.asarray(1.0, x.dtype) / jnp.maximum(keep, 1e-6).astype(x.dtype)
+    return jnp.where(mask, x * inv_keep, jnp.zeros_like(x))
 
 
 class Mlp(nn.Module):
@@ -239,6 +240,9 @@ class BlockStack(nn.Module):
     ):
         import numpy as np
 
+        # static zero when drop-path is off (the shipped configs): skips the
+        # bernoulli + select entirely inside the scanned block
+        no_dp = self.start_drop_path == 0.0 and self.end_drop_path == 0.0
         dpr = jnp.asarray(
             np.linspace(self.start_drop_path, self.end_drop_path, self.depth),
             dtype=jnp.float32,
@@ -263,6 +267,8 @@ class BlockStack(nn.Module):
         def body(block, carry, layer_in):
             x = carry
             rate, scale = layer_in
+            if no_dp:
+                rate = 0.0
             if bias is None:
                 ab = None
             elif isinstance(bias, AlibiSpec):

@@ -120,14 +120,16 @@ class CheckpointManager:
                         shutil.rmtree(best)
                 os.symlink(path, best)
                 self._save_meta()
-        self._rotate()
+        self._rotate(in_flight=step)
 
     def wait(self):
         if self._checkpointer is not None:
             self._checkpointer.wait_until_finished()
 
-    def _rotate(self):
+    def _rotate(self, in_flight: Optional[int] = None):
         steps = self.all_steps()
+        if in_flight is not None and in_flight not in steps:
+            steps = sorted(steps + [in_flight])  # async write still finalizing
         if self.keep_last and len(steps) > self.keep_last:
             best_target = None
             best = os.path.join(self.directory, "best")

@@ -56,8 +56,11 @@ def pretrain_loss(
     source = batch["source"]
     target = batch.get("target")
 
-    # BC-learning mixup on device (nn/data2vec2.py:536-598)
-    if train and mcfg.mixup.source_mixup >= 0 and mcfg.mixup.mixup_prob > 0:
+    # BC-learning mixup on device (nn/data2vec2.py:536-598); audio only
+    if (
+        train and mode == "AUDIO"
+        and mcfg.mixup.source_mixup >= 0 and mcfg.mixup.mixup_prob > 0
+    ):
         source, target = bc_mixup(
             r_mix,
             source,
@@ -88,13 +91,28 @@ def pretrain_loss(
     clone = mcfg.clone_batch if train else mcfg.clone_batch
     local_c = jnp.repeat(local, clone, axis=0) if clone > 1 else local
 
-    # span masking, static count (nn/modalities/base.py:370-425)
-    mask = span_mask(
-        r_mask, b * clone, t, acfg.mask_prob, acfg.mask_length, acfg.mask_dropout
-    )
-    m_tokens = expected_span_mask_tokens(
-        t, acfg.mask_prob, acfg.mask_length, acfg.mask_dropout
-    )
+    if mode == "IMAGE" and acfg.mask_length > 1:
+        # 2-D block masking for the image branch
+        # (nn/modalities/images.py:200-239)
+        from animal2vec_tpu.ops import block_mask_2d
+
+        mask = block_mask_2d(
+            r_mask, b * clone, t, acfg.mask_prob, acfg.mask_length,
+            acfg.mask_prob_adjust, acfg.inverse_mask,
+        )
+        # block_mask_2d exactifies to round(P * p) (or its inverse)
+        m_tokens = int(t * acfg.mask_prob)
+        if acfg.inverse_mask:
+            m_tokens = t - m_tokens
+        m_tokens = max(1, min(m_tokens, t - 1))
+    else:
+        # span masking, static count (nn/modalities/base.py:370-425)
+        mask = span_mask(
+            r_mask, b * clone, t, acfg.mask_prob, acfg.mask_length, acfg.mask_dropout
+        )
+        m_tokens = expected_span_mask_tokens(
+            t, acfg.mask_prob, acfg.mask_length, acfg.mask_dropout
+        )
     info = make_mask_info_static(mask, m_tokens, acfg.keep_masked_pct)
 
     rng, r_student, r_dec = jax.random.split(rng, 3)
@@ -176,6 +194,7 @@ def pretrain_loss(
             recon_t = jnp.repeat(recon_t, clone, axis=0)
         recon_t = jnp.take_along_axis(recon_t, ids_masked[..., None], axis=1)
         recon = jnp.take_along_axis(xs[0], ids_masked[..., None], axis=1)
+        recon = model.apply(variables, recon, method=Data2VecMulti.recon_head)
         losses["recon"] = (
             d2v_regression_loss(recon, recon_t, mcfg.loss_beta, mcfg.loss_scale).sum()
             * mcfg.recon_loss
@@ -221,7 +240,10 @@ def pretrain_loss(
             }
         )
 
-    loss = sum(losses.values()) / sample_size
+    # ModelCriterion weighting contract (nn/criterions.py:388-399):
+    # per-loss weights from criterion.loss_weights, default 1.0
+    weights = cfg.criterion.loss_weights or {}
+    loss = sum(v * weights.get(k, 1.0) for k, v in losses.items()) / sample_size
     metrics["target_var"] = compute_var(y_m)
     metrics["masked_pct"] = jnp.asarray(m_tokens / t, jnp.float32)
     metrics["sample_size"] = sample_size

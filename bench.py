@@ -2,6 +2,13 @@
 
 Target (BASELINE.json): >= 2,000 clips/sec on a v5e-8 == 250 clips/sec/chip.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+A2V_BENCH_MODE=pretrain instead measures pretrain train-step throughput
+(10-s clips/sec/chip through the full masked-prediction update incl. EMA).
+
+Note: at bf16 the inference target exceeds the chip's peak FLOPs for this
+model (~1.7 TFLOP/clip x 250 clips/s/chip > v5e's ~197 TFLOP/s), so
+vs_baseline < 1 is expected until a lower-precision path lands.
 """
 
 import json
@@ -81,5 +88,63 @@ def main():
     )
 
 
+def main_pretrain():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from animal2vec_tpu.config import load_config
+    from animal2vec_tpu.train.build import build_pretrain_model, init_pretrain
+    from animal2vec_tpu.train.pretrain import make_pretrain_train_step
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    cfg = load_config(
+        os.path.join(here, "animal2vec_tpu/configs/a2v_large_pretrain.yaml"),
+        overrides=[
+            "common.compute_dtype=bfloat16",
+            "optimization.update_freq=1",
+        ],
+    )
+    batch = int(os.environ.get("A2V_BENCH_BATCH", "4"))
+    wav_len = 80_000
+    model, state = init_pretrain(
+        cfg, jax.random.PRNGKey(0), example_wav_len=wav_len, example_batch=1
+    )
+    step_fn = jax.jit(make_pretrain_train_step(model, cfg), donate_argnums=(0,))
+    rng_np = np.random.default_rng(0)
+
+    def fresh():
+        return {
+            "source": jnp.asarray(
+                rng_np.normal(size=(1, batch, wav_len)).astype(np.float32)
+            )
+        }
+
+    state, m = step_fn(state, fresh(), jax.random.PRNGKey(0))
+    float(m["loss"])  # materialize: forces execution through the relay
+    iters = int(os.environ.get("A2V_BENCH_ITERS", "5"))
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, m = step_fn(state, fresh(), jax.random.PRNGKey(i + 1))
+        float(m["loss"])
+    dt = time.perf_counter() - t0
+    clips_per_sec = batch * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "a2v-large pretrain train-step throughput",
+                "value": round(clips_per_sec, 2),
+                "unit": "10s-clips/sec/chip",
+                "vs_baseline": round(clips_per_sec / 25.0, 3),
+                # reference: 1020 s audio/update on 4 GPUs => ~25 clips/s/gpu
+                # assuming ~1 update/s (not published; coarse anchor)
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("A2V_BENCH_MODE", "infer") == "pretrain":
+        main_pretrain()
+    else:
+        main()
