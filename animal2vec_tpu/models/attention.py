@@ -165,6 +165,17 @@ def flash_attention_tpu(
     return out.astype(dtype)
 
 
+def pallas_eligible(bias, t: int, has_dropout: bool, impl: str) -> bool:
+    """Whether the structured-ALiBi Pallas kernel path applies."""
+    return (
+        isinstance(bias, AlibiSpec)
+        and impl != "xla"
+        and _on_tpu()
+        and t >= 256
+        and not has_dropout
+    )
+
+
 def multihead_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,

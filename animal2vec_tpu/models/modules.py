@@ -90,9 +90,71 @@ class Mlp(nn.Module):
         return x
 
 
+class QKVProj(nn.Module):
+    """Fused qkv projection with layout-aware output: classic (B, T, 3, H, E)
+    or direct (3, B, H, T, E) via einsum so the flash kernel's native layout
+    needs no transposes. Param tree matches nn.Dense ("kernel"/"bias")."""
+
+    features: int  # 3 * C
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, heads: int, bhtd: bool = False):
+        c_in = x.shape[-1]
+        kernel = self.param("kernel", default_kernel_init, (c_in, self.features), jnp.float32)
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        kernel = kernel.astype(self.dtype)
+        e = self.features // (3 * heads)
+        if bhtd:
+            w = kernel.reshape(c_in, 3, heads, e)
+            y = jnp.einsum("btd,dshe->sbhte", x, w)
+            if bias is not None:
+                y = y + bias.astype(self.dtype).reshape(3, 1, heads, 1, e)
+            return y  # packed (3, B, H, T, E) — consumed whole by the kernel
+        y = x @ kernel
+        if bias is not None:
+            y = y + bias.astype(self.dtype)
+        b, t = x.shape[0], x.shape[1]
+        y = y.reshape(b, t, 3, heads, e)
+        return y[:, :, 0], y[:, :, 1], y[:, :, 2]  # (B, T, H, E) each
+
+
+class OutProj(nn.Module):
+    """Attention output projection accepting either layout (param tree
+    matches nn.Dense)."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, out, bhtd: bool = False):
+        if bhtd:
+            b, h, t, e = out.shape
+            c_in = h * e
+        else:
+            b, t, c_in = out.shape
+        kernel = self.param("kernel", default_kernel_init, (c_in, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        kernel = kernel.astype(self.dtype)
+        if bhtd:
+            w = kernel.reshape(h, e, self.features)
+            y = jnp.einsum("bhte,hed->btd", out, w)
+        else:
+            y = out @ kernel
+        return y + bias.astype(self.dtype)
+
+
 class AltAttention(nn.Module):
     """Multi-head self-attention with additive (ALiBi) bias
-    (nn/modalities/modules.py:340-410). qkv fused; fp32 softmax."""
+    (nn/modalities/modules.py:340-410). qkv fused; fp32 softmax. When the
+    structured-ALiBi Pallas path applies, projections einsum directly
+    into/out of the kernel's (B, H, T, E) layout — no per-layer transpose
+    or head-slice copies."""
 
     num_heads: int
     attn_drop: float = 0.0
@@ -109,27 +171,37 @@ class AltAttention(nn.Module):
         bias: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ):
+        from animal2vec_tpu.models.attention import pallas_eligible
+
         b, t, c = x.shape
         h = self.num_heads
-        qkv = nn.Dense(
-            3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
-            kernel_init=default_kernel_init, name="qkv",
-        )(x)
-        qkv = qkv.reshape(b, t, 3, h, c // h)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, T, H, D)
-        dropout_rng = None
-        if not deterministic and self.attn_drop > 0:
-            dropout_rng = self.make_rng("dropout")
-        out = multihead_attention(
-            q, k, v,
-            bias=bias,
-            padding_mask=padding_mask,
-            dropout_rate=self.attn_drop,
-            dropout_rng=dropout_rng,
-            impl=self.impl,
-        )
-        out = out.reshape(b, t, c)
-        out = nn.Dense(c, dtype=self.dtype, kernel_init=default_kernel_init, name="proj")(out)
+        has_dropout = not deterministic and self.attn_drop > 0
+        fast = pallas_eligible(bias, t, has_dropout, self.impl)
+        qkv = QKVProj(3 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")
+        proj = OutProj(c, dtype=self.dtype, name="proj")
+        if fast:
+            from animal2vec_tpu.ops.pallas_attention import (
+                alibi_flash_attention_packed,
+            )
+
+            packed = qkv(x, heads=h, bhtd=True)  # (3, B, H, T, E)
+            out = alibi_flash_attention_packed(
+                packed, bias.slopes, bias.positions, padding_mask,
+                bias.has_sentinel,
+            )
+            out = proj(out, bhtd=True)
+        else:
+            q, k, v = qkv(x, heads=h, bhtd=False)
+            dropout_rng = self.make_rng("dropout") if has_dropout else None
+            out = multihead_attention(
+                q, k, v,
+                bias=bias,
+                padding_mask=padding_mask,
+                dropout_rate=self.attn_drop,
+                dropout_rng=dropout_rng,
+                impl=self.impl,
+            )
+            out = proj(out.reshape(b, t, c), bhtd=False)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
         return out
 
@@ -202,7 +274,12 @@ class AltBlock(nn.Module):
             x = x + dp(attn(x, padding_mask, bias, deterministic))
             r = norm("norm1")(x)
             t = mlp(r, deterministic)
-            x = norm("norm2")(r + dp(post_drop(t, deterministic=deterministic)))
+            # barrier: XLA otherwise fuses norm2's reduction into fc2's
+            # epilogue, halving the fc2 matmul throughput (profiled on v5e)
+            z = jax.lax.optimization_barrier(
+                r + dp(post_drop(t, deterministic=deterministic))
+            )
+            x = norm("norm2")(z)
             if not c.ffn_targets:
                 t = x
         return x, t

@@ -68,9 +68,11 @@ def _kernel(
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
     # keep q/k in their storage dtype (bf16) so the MXU runs native bf16
-    # matmuls with fp32 accumulation; only softmax runs in fp32
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
+    # matmuls with fp32 accumulation; only softmax runs in fp32.
+    # reshape-based reads tolerate both (1,1,bq,d) and packed (1,1,1,bq,d)
+    # block shapes.
+    q = q_ref[...].reshape(q_ref.shape[-2], q_ref.shape[-1])
+    k = k_ref[...].reshape(k_ref.shape[-2], k_ref.shape[-1])
     s = jax.lax.dot_general(
         q * jnp.asarray(sm_scale, q.dtype), k,
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -95,7 +97,7 @@ def _kernel(
     alpha = jnp.exp(m_prev - m_new)
     p = jnp.exp(s - m_new)  # (bq, bk)
     l_new = alpha * l_scr[...] + jnp.sum(p, axis=1, keepdims=True)
-    v_blk = v_ref[0, 0]
+    v_blk = v_ref[...].reshape(v_ref.shape[-2], v_ref.shape[-1])
     acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
         p.astype(v_blk.dtype), v_blk,
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -111,7 +113,7 @@ def _kernel(
 
 
 def _pallas_forward(
-    q: jnp.ndarray,      # (B, T, H, D)
+    q: jnp.ndarray,      # (B, T, H, D) — or (B, H, T, D) with bhtd_layout
     k: jnp.ndarray,
     v: jnp.ndarray,
     slopes: jnp.ndarray,  # (H,) scaled slopes (>=0)
@@ -120,8 +122,12 @@ def _pallas_forward(
     block_q: int = 1024,
     block_k: int = 2048,
     has_sentinel: bool = True,
+    bhtd_layout: bool = False,
 ) -> jnp.ndarray:
-    b, t, h, d = q.shape
+    if bhtd_layout:
+        b, h, t, d = q.shape
+    else:
+        b, t, h, d = q.shape
     dtype = q.dtype
     # block sizes stay multiples of 128 (lane rule for the position/mask
     # vectors); t is padded up to a block multiple with masked keys
@@ -129,16 +135,19 @@ def _pallas_forward(
     block_k = min(block_k, _ceil_to(t, 128))
     t_pad = _ceil_to(t, max(block_q, block_k))
 
-    def pad_seq(x, value=0):
+    def pad_seq(x, value=0, axis=1):
         if t_pad == t:
             return x
         cfg = [(0, 0)] * x.ndim
-        cfg[1] = (0, t_pad - t)
+        cfg[axis] = (0, t_pad - t)
         return jnp.pad(x, cfg, constant_values=value)
 
-    qp = jnp.swapaxes(pad_seq(q), 1, 2)  # (B, H, T, D)
-    kp = jnp.swapaxes(pad_seq(k), 1, 2)
-    vp = jnp.swapaxes(pad_seq(v), 1, 2)
+    if bhtd_layout:
+        qp, kp, vp = (pad_seq(x, axis=2) for x in (q, k, v))
+    else:
+        qp = jnp.swapaxes(pad_seq(q), 1, 2)  # (B, H, T, D)
+        kp = jnp.swapaxes(pad_seq(k), 1, 2)
+        vp = jnp.swapaxes(pad_seq(v), 1, 2)
     # (B, 1, T) layout so the VMEM block (1, 1, block) satisfies the
     # TPU tiling rule (second-to-last dim == full array dim)
     pos = pad_seq(positions.astype(jnp.int32))[:, None, :]
@@ -191,6 +200,8 @@ def _pallas_forward(
         ),
         interpret=interpret,
     )(slope_arr, qp, kp, vp, pos, pos, mask)
+    if bhtd_layout:
+        return out[:, :, :t]  # (B, H, T, D)
     return jnp.swapaxes(out, 1, 2)[:, :t]
 
 
@@ -250,3 +261,147 @@ def _bwd(use_pallas, has_sentinel, res, g):
 
 
 alibi_flash_attention.defvjp(_fwd, _bwd)
+
+
+def _pallas_forward_packed(
+    qkv: jnp.ndarray,  # (3, B, H, T, D)
+    slopes: jnp.ndarray,
+    positions: jnp.ndarray,
+    padding_mask: Optional[jnp.ndarray],
+    block_q: int = 1024,
+    block_k: int = 2048,
+    has_sentinel: bool = True,
+) -> jnp.ndarray:
+    """Packed-qkv kernel entry: the q/k/v blocks are sliced out of the single
+    (3, B, H, T, D) projection output by BlockSpec index maps — no unpack
+    copy, one pad instead of three."""
+    _, b, h, t, d = qkv.shape
+    dtype = qkv.dtype
+    block_q = min(block_q, _ceil_to(t, 128))
+    block_k = min(block_k, _ceil_to(t, 128))
+    t_pad = _ceil_to(t, max(block_q, block_k))
+    if t_pad != t:
+        qkv = jnp.pad(qkv, ((0, 0), (0, 0), (0, 0), (0, t_pad - t), (0, 0)))
+        positions_p = jnp.pad(positions.astype(jnp.int32), ((0, 0), (0, t_pad - t)))
+    else:
+        positions_p = positions.astype(jnp.int32)
+    pos = positions_p[:, None, :]
+    mask = (
+        jnp.zeros((b, t), jnp.int32)
+        if padding_mask is None
+        else padding_mask.astype(jnp.int32)
+    )
+    if t_pad != t:
+        mask = jnp.pad(mask, ((0, 0), (0, t_pad - t)), constant_values=1)
+    mask = mask[:, None, :]
+
+    n_q = t_pad // block_q
+    n_k = t_pad // block_k
+    mask_needed = padding_mask is not None or t_pad != t
+    slope_arr = slopes.astype(jnp.float32).reshape(h, 1)
+    interpret = jax.default_backend() != "tpu"
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel,
+            sm_scale=d**-0.5, n_k=n_k, block_q=block_q, block_k=block_k,
+            has_sentinel=has_sentinel, has_mask=mask_needed,
+        ),
+        grid=(b, h, n_q, n_k),
+        in_specs=[
+            pl.BlockSpec((h, 1), lambda bi, hi, qi, ki: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, block_q, d), lambda bi, hi, qi, ki: (0, bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, 1, block_k, d), lambda bi, hi, qi, ki: (1, bi, hi, ki, 0)),
+            pl.BlockSpec((1, 1, 1, block_k, d), lambda bi, hi, qi, ki: (2, bi, hi, ki, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda bi, hi, qi, ki: (bi, 0, qi)),
+            pl.BlockSpec((1, 1, block_k), lambda bi, hi, qi, ki: (bi, 0, ki)),
+            pl.BlockSpec((1, 1, block_k), lambda bi, hi, qi, ki: (bi, 0, ki)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, t_pad, d), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(slope_arr, qkv, qkv, qkv, pos, pos, mask)
+    return out[:, :, :t]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def alibi_flash_attention_packed(qkv, slopes, positions, padding_mask,
+                                 has_sentinel: bool = True):
+    """custom_vjp wrapper over the packed (3,B,H,T,D) kernel; backward is
+    the XLA reference attention on unpacked slices."""
+    return _pallas_forward_packed(
+        qkv, slopes, positions, padding_mask, has_sentinel=has_sentinel
+    )
+
+
+def _fwd_packed(qkv, slopes, positions, padding_mask, has_sentinel):
+    out = alibi_flash_attention_packed(
+        qkv, slopes, positions, padding_mask, has_sentinel
+    )
+    return out, (qkv, slopes, positions, padding_mask)
+
+
+def _bwd_packed(has_sentinel, res, g):
+    qkv, slopes, positions, padding_mask = res
+
+    def ref(qkv_, s_):
+        q_, k_, v_ = qkv_[0], qkv_[1], qkv_[2]
+        out = _reference_attention(
+            jnp.swapaxes(q_, 1, 2), jnp.swapaxes(k_, 1, 2), jnp.swapaxes(v_, 1, 2),
+            s_, positions, padding_mask,
+        )
+        return jnp.swapaxes(out, 1, 2)
+
+    _, vjp = jax.vjp(ref, qkv, slopes)
+    dqkv, ds = vjp(g)
+    return dqkv, ds, None, None
+
+
+alibi_flash_attention_packed.defvjp(_fwd_packed, _bwd_packed)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def alibi_flash_attention_bhtd(q, k, v, slopes, positions, padding_mask,
+                               has_sentinel: bool = True):
+    """(B, H, T, D)-layout variant: lets callers einsum qkv projections
+    directly into the kernel's native layout, skipping the per-layer
+    slice/transpose copies of the BTHD interface."""
+    return _pallas_forward(
+        q, k, v, slopes, positions, padding_mask,
+        has_sentinel=has_sentinel, bhtd_layout=True,
+    )
+
+
+def _fwd_bhtd(q, k, v, slopes, positions, padding_mask, has_sentinel):
+    out = alibi_flash_attention_bhtd(
+        q, k, v, slopes, positions, padding_mask, has_sentinel
+    )
+    return out, (q, k, v, slopes, positions, padding_mask)
+
+
+def _bwd_bhtd(has_sentinel, res, g):
+    q, k, v, slopes, positions, padding_mask = res
+
+    def ref(q_, k_, v_, s_):
+        out = _reference_attention(
+            jnp.swapaxes(q_, 1, 2), jnp.swapaxes(k_, 1, 2), jnp.swapaxes(v_, 1, 2),
+            s_, positions, padding_mask,
+        )
+        return jnp.swapaxes(out, 1, 2)
+
+    _, vjp = jax.vjp(ref, q, k, v, slopes)
+    dq, dk, dv, ds = vjp(g)
+    return dq, dk, dv, ds, None, None
+
+
+alibi_flash_attention_bhtd.defvjp(_fwd_bhtd, _bwd_bhtd)

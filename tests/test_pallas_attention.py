@@ -93,6 +93,43 @@ class TestPallasKernel:
             np.asarray(ours[:, :100]), np.asarray(ref[:, :100]), rtol=2e-3, atol=2e-4
         )
 
+    def test_packed_kernel_matches_reference(self):
+        from animal2vec_tpu.ops.pallas_attention import _pallas_forward_packed
+
+        b, t, h, d = 2, 256, 4, 8
+        q, k, v = make_qkv(b, t, h, d, seed=6)
+        slopes = jnp.asarray(alibi_slopes(h))
+        pos = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32)[None], (b, t))
+        packed = jnp.stack(
+            [jnp.swapaxes(x, 1, 2) for x in (q, k, v)], axis=0
+        )  # (3, B, H, T, D)
+        ours = _pallas_forward_packed(packed, slopes, pos, None, block_q=128, block_k=128)
+        ref = jnp.swapaxes(_reference_attention(q, k, v, slopes, pos, None), 1, 2)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=2e-3, atol=2e-4)
+
+    def test_packed_custom_vjp_gradients(self):
+        from animal2vec_tpu.ops.pallas_attention import alibi_flash_attention_packed
+
+        b, t, h, d = 1, 128, 2, 8
+        q, k, v = make_qkv(b, t, h, d, seed=7)
+        slopes = jnp.asarray(alibi_slopes(h))
+        pos = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32)[None], (b, t))
+        packed = jnp.stack([jnp.swapaxes(x, 1, 2) for x in (q, k, v)], axis=0)
+
+        def loss_packed(pk):
+            return (alibi_flash_attention_packed(pk, slopes, pos, None, False) ** 2).sum()
+
+        def loss_ref(pk):
+            out = _reference_attention(
+                jnp.swapaxes(pk[0], 1, 2), jnp.swapaxes(pk[1], 1, 2),
+                jnp.swapaxes(pk[2], 1, 2), slopes, pos, None,
+            )
+            return (jnp.swapaxes(out, 1, 2) ** 2).sum()
+
+        g1 = jax.grad(loss_packed)(packed)
+        g2 = jax.grad(loss_ref)(packed)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=2e-3, atol=2e-4)
+
     def test_custom_vjp_gradients(self):
         b, t, h, d = 1, 64, 2, 4
         q, k, v = make_qkv(b, t, h, d, seed=5)
