@@ -285,6 +285,34 @@ class Data2VecMulti(nn.Module):
             prenet_scales = scales[: enc.cfg.prenet_depth]
             trunk_scales = scales[enc.cfg.prenet_depth:]
 
+        # pad the whole trunk once to the flash kernel's block length (extra
+        # tokens key-masked) instead of padding q/k/v inside every layer
+        from animal2vec_tpu.models.attention import AlibiSpec, pallas_eligible
+        from animal2vec_tpu.ops.pallas_attention import attention_padded_len
+
+        t_run = x.shape[1]
+        attn_dropout_active = (
+            not deterministic and _block_cfg(self.cfg).attention_dropout > 0
+        )
+        t_padded = t_run
+        if isinstance(bias, AlibiSpec) and pallas_eligible(
+            bias, t_run, attn_dropout_active, self.cfg.attn_impl
+        ):
+            t_padded = attention_padded_len(t_run)
+        fabricated_mask = False
+        if t_padded != t_run:
+            extra = t_padded - t_run
+            x = jnp.pad(x, ((0, 0), (0, extra), (0, 0)))
+            bias = bias.replace(
+                positions=jnp.pad(bias.positions, ((0, 0), (0, extra)))
+            )
+            if padding_mask is None:
+                padding_mask = jnp.zeros((x.shape[0], t_run), bool)
+                fabricated_mask = True
+            padding_mask = jnp.pad(
+                padding_mask, ((0, 0), (0, extra)), constant_values=True
+            )
+
         x = enc.prenet(x, padding_mask, bias, deterministic, bias_scales=prenet_scales)
         x = self.dropout_input(x, deterministic=deterministic)
         x, taps = self.blocks(
@@ -292,6 +320,10 @@ class Data2VecMulti(nn.Module):
         )
         if self.norm is not None:
             x = self.norm(x)
+        if t_padded != t_run:
+            x = x[:, :t_run]
+            taps = taps[:, :, :t_run]
+            padding_mask = None if fabricated_mask else padding_mask[:, :t_run]
         return x, taps, padding_mask
 
     def decode_d2v(

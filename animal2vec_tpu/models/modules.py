@@ -84,6 +84,10 @@ class Mlp(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, kernel_init=default_kernel_init, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
+        # barrier: without it XLA fuses the exact-erf GELU into fc2's operand
+        # read and recomputes it per MXU tile pass (profiled 2.4x fc2
+        # slowdown on v5e)
+        x = jax.lax.optimization_barrier(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         x = nn.Dense(self.out_dim, dtype=self.dtype, kernel_init=default_kernel_init, name="fc2")(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)

@@ -39,6 +39,14 @@ def _ceil_to(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def attention_padded_len(t: int, block_q: int = 1024, block_k: int = 2048) -> int:
+    """The sequence length the kernel will pad to. Callers can pad once at
+    trunk level (with masked keys) so the per-layer kernel pad is a no-op."""
+    bq = min(block_q, _ceil_to(t, 128))
+    bk = min(block_k, _ceil_to(t, 128))
+    return _ceil_to(t, max(bq, bk))
+
+
 def _kernel(
     slope_ref,  # SMEM (H, 1): scaled slopes, indexed by the head program id
     q_ref,      # VMEM (1, 1, bq, d)
