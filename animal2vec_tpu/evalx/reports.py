@@ -57,6 +57,40 @@ def mean_average_precision(labels: np.ndarray, probs: np.ndarray) -> float:
     return float(average_precision_score(labels, probs))
 
 
+def confusion_matrix_figure(
+    labels: np.ndarray,
+    probs: np.ndarray,
+    class_names: Sequence[str],
+    threshold: float,
+):
+    """Per-class 2x2-summed confusion heatmap as a matplotlib figure
+    (replaces nn/utils.py:175-202 without the tensorflow PNG round-trip —
+    tensorboardX renders figures directly)."""
+    import matplotlib
+
+    matplotlib.use("agg")
+    import matplotlib.pyplot as plt
+
+    labels = labels.reshape(-1, labels.shape[-1]).astype(np.int64)
+    preds = (probs.reshape(-1, probs.shape[-1]) >= threshold).astype(np.int64)
+    # multilabel confusion: predicted-class x true-class co-occurrence
+    n = len(class_names)
+    mat = labels.T @ preds  # (true, predicted) co-activations
+    fig, ax = plt.subplots(figsize=(max(4, 0.6 * n), max(4, 0.6 * n)))
+    im = ax.imshow(mat, cmap="GnBu", origin="upper")
+    short = [c[:5] for c in class_names]
+    ax.set_xticks(range(n), labels=short, rotation=45, fontsize=8)
+    ax.set_yticks(range(n), labels=short, fontsize=8)
+    ax.set_xlabel("Prediction")
+    ax.set_ylabel("Truth")
+    for i in range(n):
+        for j in range(n):
+            ax.text(j, i, f"{mat[i, j]:.0f}", ha="center", va="center", fontsize=6)
+    fig.colorbar(im, shrink=0.8)
+    fig.tight_layout()
+    return fig
+
+
 def log_eval_report(
     labels: np.ndarray,
     probs: np.ndarray,
@@ -93,6 +127,14 @@ def log_eval_report(
     if writer is not None:
         flat_l = labels.reshape(-1, labels.shape[-1])
         flat_p = probs.reshape(-1, probs.shape[-1])
+        try:
+            writer.add_figure(
+                f"{prefix}/confusion",
+                confusion_matrix_figure(labels, probs, class_names, threshold),
+                step,
+            )
+        except Exception:  # plotting must never break eval
+            pass
         writer.add_pr_curve(f"{prefix}/micro_average", flat_l, flat_p, global_step=step)
         writer.add_scalar(f"{prefix}/mAP", out[f"{prefix}/mAP"], step)
         for ci, name in enumerate(class_names):

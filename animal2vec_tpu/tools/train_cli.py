@@ -34,7 +34,15 @@ def main(argv=None):
 
     cfg = load_config(args.config, args.overrides)
 
+    import os
+
     import jax
+
+    # multi-host (pod / multi-slice): the reference spawns NCCL process
+    # groups (distributed_utils.call_main); here each host just joins the
+    # jax runtime — mesh + GSPMD do the rest over ICI/DCN.
+    if os.environ.get("A2V_MULTIHOST") or os.environ.get("COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
 
     from animal2vec_tpu.train.loop import run_finetune, run_pretrain
 

@@ -82,8 +82,15 @@ class MetricsAccumulator:
 
 
 class TensorboardSink:
-    def __init__(self, logdir: Optional[str]):
+    """Metric fan-out: tensorboard always (when a logdir is set), wandb and
+    aim opportunistically when their packages + env config exist — the same
+    sink set the reference's progress_bar selects
+    (nn/audio_train_routine.py:283-319); azureml is intentionally absent."""
+
+    def __init__(self, logdir: Optional[str], project: str = "animal2vec_tpu"):
         self.writer = None
+        self._wandb = None
+        self._aim_run = None
         if logdir:
             try:
                 from tensorboardX import SummaryWriter
@@ -91,11 +98,41 @@ class TensorboardSink:
                 self.writer = SummaryWriter(logdir)
             except Exception:
                 self.writer = None
+        import os
+
+        if os.environ.get("WANDB_PROJECT") or os.environ.get("WANDB_API_KEY"):
+            try:
+                import wandb
+
+                wandb.init(project=os.environ.get("WANDB_PROJECT", project))
+                self._wandb = wandb
+            except Exception:
+                self._wandb = None
+        if os.environ.get("AIM_REPO"):
+            try:
+                import aim
+
+                self._aim_run = aim.Run(repo=os.environ["AIM_REPO"])
+            except Exception:
+                self._aim_run = None
 
     def log(self, metrics: Dict[str, float], step: int):
-        if self.writer is None:
-            return
-        for k, v in metrics.items():
-            if isinstance(v, (int, float)) and np.isfinite(v):
+        scalars = {
+            k: v
+            for k, v in metrics.items()
+            if isinstance(v, (int, float)) and np.isfinite(v)
+        }
+        if self.writer is not None:
+            for k, v in scalars.items():
                 self.writer.add_scalar(k, v, step)
-        self.writer.flush()
+            self.writer.flush()
+        if self._wandb is not None:
+            self._wandb.log(scalars, step=step)
+        if self._aim_run is not None:
+            for k, v in scalars.items():
+                self._aim_run.track(v, name=k, step=step)
+
+    def log_figure(self, tag: str, figure, step: int):
+        if self.writer is not None:
+            self.writer.add_figure(tag, figure, step)
+            self.writer.flush()

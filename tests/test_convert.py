@@ -92,6 +92,44 @@ class TestRoundTrip:
         assert ("encoder", "blocks", "block", "attn", "qkv", "kernel") in f
         assert f[("proj", "kernel")].shape == (32, 4)
 
+    def test_cli_import_real_torch_pt(self, pretrain_params, tmp_path):
+        """Full path: torch.save a fairseq-style checkpoint -> convert_cli
+        import -> restored params match the originals bit-for-bit."""
+        torch = pytest.importorskip("torch")
+        import flax.traverse_util as tu
+
+        from animal2vec_tpu.config import (
+            Config, CriterionConfig, TaskConfig, resolve, save_config,
+        )
+        from tests.test_models import TINY_CONV, LABELS
+        from animal2vec_tpu.tools import convert_cli
+        from animal2vec_tpu.train.checkpoint import CheckpointManager
+
+        cfg_m, params = pretrain_params
+        sd = export_pretrain(params, cfg_m)
+        pt = str(tmp_path / "ref.pt")
+        torch.save({"model": {k: torch.tensor(v) for k, v in sd.items()}}, pt)
+
+        cfg = Config()
+        cfg.task = TaskConfig(
+            unique_labels=LABELS, conv_feature_layers=TINY_CONV, with_labels=True
+        )
+        cfg.model = cfg_m
+        cfg.criterion = CriterionConfig()
+        cfg = resolve(cfg)
+        cfg_path = str(tmp_path / "cfg.yaml")
+        save_config(cfg, cfg_path)
+
+        out_dir = str(tmp_path / "converted")
+        convert_cli.main([
+            "import", "--pt", pt, "--config", cfg_path, "--out", out_dir,
+            "--kind", "pretrain", "--example-len", "800",
+        ])
+        state, _ = CheckpointManager(out_dir).restore()
+        got = tu.flatten_dict(state["params"])
+        for p, v in tu.flatten_dict(params).items():
+            np.testing.assert_array_equal(np.asarray(got[p]), np.asarray(v), err_msg=str(p))
+
     def test_ema_conversion(self, pretrain_params):
         cfg, params = pretrain_params
         sd = export_pretrain(params, cfg)
