@@ -162,6 +162,7 @@ def run_pretrain(cfg: Config, max_steps: Optional[int] = None) -> Dict[str, floa
     state = state.replace(params=params_sh)
 
     step_fn = jax.jit(make_pretrain_train_step(model, cfg), donate_argnums=(0,))
+    eval_fn = jax.jit(make_pretrain_eval_step(model, cfg))
     accum = max(1, cfg.optimization.update_freq)
     loader = _build_loader(cfg, cfg.dataset.train_subset, True, accum)
     loader.load_state_dict(loader_state)
@@ -188,7 +189,18 @@ def run_pretrain(cfg: Config, max_steps: Optional[int] = None) -> Dict[str, floa
                         cfg, step, {k.split("/", 1)[1]: v for k, v in last.items()}
                     )
                     acc.reset()
-                if cfg.checkpoint.save_interval_updates and step % cfg.checkpoint.save_interval_updates == 0:
+                do_validate = (
+                    not cfg.dataset.disable_validation
+                    and step >= cfg.dataset.validate_after_updates
+                    and cfg.dataset.validate_interval_updates
+                    and step % cfg.dataset.validate_interval_updates == 0
+                )
+                if do_validate:
+                    val = validate_pretrain(cfg, model, state, eval_fn, mesh, sink, step)
+                    ckpt.save(
+                        step, state, extra={"loader": loader.state_dict()}, metrics=val
+                    )
+                elif cfg.checkpoint.save_interval_updates and step % cfg.checkpoint.save_interval_updates == 0:
                     ckpt.save(step, state, extra={"loader": loader.state_dict()})
                 if step >= limit:
                     break
@@ -196,6 +208,24 @@ def run_pretrain(cfg: Config, max_steps: Optional[int] = None) -> Dict[str, floa
     ckpt.save(int(state.step), state, extra={"loader": loader.state_dict()})
     ckpt.wait()
     return last
+
+
+def validate_pretrain(cfg, model, state, eval_fn, mesh, sink, step) -> Dict[str, float]:
+    """Pretrain validation (nn/audio_train_routine.py:471-560): masked-
+    prediction loss + variance stats on the valid split, plus the linear-
+    probe counters when labels are available."""
+    loader = _build_loader(cfg, cfg.dataset.valid_subset, False, 1)
+    acc = MetricsAccumulator()
+    rng = jax.random.PRNGKey(0)
+    with mesh:
+        for batch in loader:
+            sb = _shard_batch(batch, mesh, train=False)
+            metrics = eval_fn(state, sb, rng)
+            acc.update(metrics)
+    out = acc.summary("valid/")
+    sink.log(out, step)
+    logger.info("valid %d %s", step, _fmt(out))
+    return out
 
 
 def run_finetune(

@@ -128,13 +128,14 @@ class TestFinetuneLoop:
 
 
 class TestPretrainLoop:
-    def test_short_pretrain_run(self, data_root, tmp_path):
+    def test_short_pretrain_run_with_validation(self, data_root, tmp_path):
         from animal2vec_tpu.train.loop import run_pretrain
 
         cfg = e2e_config(data_root, str(tmp_path / "pre"))
         cfg.task.with_labels = False
         cfg.dataset.train_subset = "pretrain"
-        cfg.dataset.disable_validation = True
+        cfg.dataset.disable_validation = False
+        cfg.dataset.validate_interval_updates = 4
         cfg.model.clone_batch = 2
         cfg = resolve(cfg)
         out = run_pretrain(cfg, max_steps=4)
