@@ -405,6 +405,9 @@ class OptimizationConfig:
     warmup_init_lr: float = 0.0
     min_lr: float = 0.0
     schedule: str = "cosine"
+    # extra stop conditions (nn/audio_train_routine.py:194-199,399-416)
+    stop_time_hours: float = 0.0  # 0 = unlimited
+    stop_min_lr: float = -1.0  # stop once the schedule lr falls below this
 
 
 @dataclass

@@ -103,8 +103,15 @@ def finetune_loss(
     loss_n = loss / ntokens
 
     metrics: Dict[str, jnp.ndarray] = {"loss": loss_n, "sample_size": ntokens}
-    if cfg.criterion.report_accuracy:
+    p32 = None
+    if not train:
+        # verbose-eval capture (nn/criterions.py:270-276) — reused by the
+        # eval step so the model runs once, not twice
         p32 = jax.nn.sigmoid(logits.astype(jnp.float32))
+        metrics["_predictions"] = p32
+    if cfg.criterion.report_accuracy:
+        if p32 is None:
+            p32 = jax.nn.sigmoid(logits.astype(jnp.float32))
         preds = (p32 >= cfg.criterion.metric_threshold).astype(jnp.int32)
         tgt_bin = (target >= 0.5).astype(jnp.int32)
         tp, fp, tn, fn = confusion_counts(preds, tgt_bin)
@@ -160,12 +167,8 @@ def make_finetune_train_step(model: FinetuneModel, cfg: Config):
 
 def make_finetune_eval_step(model: FinetuneModel, cfg: Config):
     def eval_step(state: FinetuneState, batch, rng):
-        loss, metrics = finetune_loss(
+        _, metrics = finetune_loss(
             state.params, batch, rng, state.step, model, cfg, train=False
-        )
-        out = model.apply({"params": state.params}, batch["source"])
-        metrics["_predictions"] = jax.nn.sigmoid(
-            out["encoder_out"].astype(jnp.float32)
         )
         return metrics
 

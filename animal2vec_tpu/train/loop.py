@@ -114,6 +114,33 @@ def _check_collapse(cfg: Config, step: int, metrics: Dict[str, float]):
             raise CollapseError(f"{k} {v:.4f} < {cfg.model.min_pred_var}")
 
 
+class RunStopper:
+    """max_update / stop_time_hours / stop_min_lr stop conditions
+    (nn/audio_train_routine.py:194-199,399-416)."""
+
+    def __init__(self, cfg: Config, limit: int):
+        from animal2vec_tpu.train.optim import build_lr_schedule
+
+        self.limit = limit
+        self.stop_s = cfg.optimization.stop_time_hours * 3600.0
+        self.stop_min_lr = cfg.optimization.stop_min_lr
+        self.schedule = build_lr_schedule(cfg.optimization)
+        self.t0 = time.monotonic()
+        # stop_min_lr only binds after warmup (the warmup ramp starts below it)
+        self.warmup = cfg.optimization.warmup_updates
+
+    def should_stop(self, step: int) -> Optional[str]:
+        if step >= self.limit:
+            return f"max_update {self.limit}"
+        if self.stop_s > 0 and time.monotonic() - self.t0 >= self.stop_s:
+            return f"stop_time_hours {self.stop_s / 3600.0:g}"
+        if self.stop_min_lr >= 0 and step > self.warmup:
+            lr = float(self.schedule(step))
+            if lr < self.stop_min_lr:
+                return f"lr {lr:.3g} < stop_min_lr {self.stop_min_lr:g}"
+        return None
+
+
 class EarlyStopper:
     """Patience-based early stop on the best checkpoint metric
     (nn/audio_train_routine.py:233-258)."""
@@ -170,15 +197,20 @@ def run_pretrain(cfg: Config, max_steps: Optional[int] = None) -> Dict[str, floa
     acc = MetricsAccumulator()
     limit = min(cfg.optimization.max_update, max_steps or cfg.optimization.max_update)
     rng = jax.random.PRNGKey(cfg.common.seed + 17)
+    run_stop = RunStopper(cfg, limit)
+    stop_reason = None
     last = {}
 
     with mesh:
-        while int(state.step) < limit:
+        while int(state.step) < limit and stop_reason is None:
             loader.set_epoch(loader.epoch)
             for batch in loader:
                 sb = _shard_batch(batch, mesh, train=True)
                 rng, sub = jax.random.split(rng)
-                state, metrics = step_fn(state, sb, sub)
+                # per-step trace annotation (parity with the reference's
+                # record_function("train_step-%d"), nn/audio_train_routine.py:331-333)
+                with jax.profiler.StepTraceAnnotation("train_step", step_num=int(state.step)):
+                    state, metrics = step_fn(state, sb, sub)
                 acc.update(metrics)
                 step = int(state.step)
                 if step % cfg.common.log_interval == 0 or step >= limit:
@@ -202,9 +234,12 @@ def run_pretrain(cfg: Config, max_steps: Optional[int] = None) -> Dict[str, floa
                     )
                 elif cfg.checkpoint.save_interval_updates and step % cfg.checkpoint.save_interval_updates == 0:
                     ckpt.save(step, state, extra={"loader": loader.state_dict()})
-                if step >= limit:
+                stop_reason = run_stop.should_stop(step)
+                if stop_reason:
                     break
             loader.epoch += 1
+    if stop_reason:
+        logger.info("stopping: %s", stop_reason)
     ckpt.save(int(state.step), state, extra={"loader": loader.state_dict()})
     ckpt.wait()
     return last
@@ -266,15 +301,20 @@ def run_finetune(
     limit = min(cfg.optimization.max_update, max_steps or cfg.optimization.max_update)
     rng = jax.random.PRNGKey(cfg.common.seed + 23)
     stopper = EarlyStopper(patience, True)
+    run_stop = RunStopper(cfg, limit)
+    stop_reason = None
     last = {}
 
     with mesh:
-        while int(state.step) < limit:
+        while int(state.step) < limit and stop_reason is None:
             loader.set_epoch(loader.epoch)
             for batch in loader:
                 sb = _shard_batch(batch, mesh, train=True)
                 rng, sub = jax.random.split(rng)
-                state, metrics = step_fn(state, sb, sub)
+                # per-step trace annotation (parity with the reference's
+                # record_function("train_step-%d"), nn/audio_train_routine.py:331-333)
+                with jax.profiler.StepTraceAnnotation("train_step", step_num=int(state.step)):
+                    state, metrics = step_fn(state, sb, sub)
                 acc.update(metrics)
                 step = int(state.step)
                 if step % cfg.common.log_interval == 0 or step >= limit:
@@ -299,9 +339,12 @@ def run_finetune(
                         return val
                 elif cfg.checkpoint.save_interval_updates and step % cfg.checkpoint.save_interval_updates == 0:
                     ckpt.save(step, state, extra={"loader": loader.state_dict()})
-                if step >= limit:
+                stop_reason = run_stop.should_stop(step)
+                if stop_reason:
                     break
             loader.epoch += 1
+    if stop_reason:
+        logger.info("stopping: %s", stop_reason)
     ckpt.save(int(state.step), state)
     ckpt.wait()
     return last
@@ -327,6 +370,18 @@ def validate_finetune(cfg, model, state, eval_fn, mesh, sink, step) -> Dict[str,
     if all_probs:
         probs = np.concatenate(all_probs, 0)
         targets = np.concatenate(all_targets, 0)
+        if jax.process_count() > 1:
+            # cross-host gather of the raw prediction tensors — replaces
+            # fairseq's pickle all_gather_list of un-summable logging outputs
+            # (nn/criterions.py:368-377, nn/audio_train_routine.py:449-453)
+            from jax.experimental import multihost_utils
+
+            probs = np.concatenate(
+                multihost_utils.process_allgather(probs, tiled=False), 0
+            )
+            targets = np.concatenate(
+                multihost_utils.process_allgather(targets, tiled=False), 0
+            )
         segmented = None
         if cfg.criterion.segmentation_metrics:
             md = {

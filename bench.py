@@ -40,6 +40,16 @@ def main():
     wav_len = 80_000  # 10 s @ 8 kHz
     rng = jax.random.PRNGKey(0)
     params = model.init({"params": rng}, jnp.zeros((1, wav_len)))
+    if os.environ.get("A2V_BENCH_CAST", "") == "bf16":
+        # serving-style pre-cast: store matmul weights in bf16 so the
+        # per-step fp32->bf16 casts disappear (norm/sinc params stay fp32)
+        def cast(path, x):
+            name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+            if x.dtype == jnp.float32 and x.ndim >= 2:
+                return x.astype(jnp.bfloat16)
+            return x
+
+        params = jax.tree_util.tree_map_with_path(cast, params)
     params = jax.device_put(params)
 
     # enough scan iterations to amortize the remote-dispatch overhead

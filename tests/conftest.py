@@ -8,6 +8,11 @@ import os
 import tempfile
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# The environment routes XLA compilation through a remote TPU-tunnel compile
+# service (PALLAS_AXON_REMOTE_COMPILE, read per-compile by the baked axon
+# module). For CPU-only tests that turns every jit compile into remote
+# round-trips — a ~50 s e2e file becomes hours. Compile locally.
+os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
 # persistent compilation cache: the 1-core test VM pays heavily for XLA
 # compiles; cache them across tests and sessions
 os.environ.setdefault(
@@ -17,9 +22,10 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    # single-threaded eigen: the 1-core test VM wastes most of its cycles in
+    # spin/sched_yield when the CPU client spawns its default worker pool
+    flags += " --xla_force_host_platform_device_count=8 --xla_cpu_multi_thread_eigen=false"
+    os.environ["XLA_FLAGS"] = flags.strip()
 
 # The environment's sitecustomize registers a remote-TPU ("axon") PJRT plugin
 # in every interpreter; initializing it claims the TPU tunnel and can take
@@ -29,6 +35,21 @@ try:
     from jax._src import xla_bridge as _xb
 
     _xb._backend_factories.pop("axon", None)
+except Exception:
+    pass
+
+# sitecustomize may have imported jax before this conftest ran, in which case
+# jax's config already latched JAX_PLATFORMS=axon from the environment and the
+# os.environ assignments above are no-ops. Force the config values too.
+try:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update(
+        "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 except Exception:
     pass
 

@@ -30,7 +30,10 @@ LABELS_STR = "['beep', 'synch', 'sn', 'cc', 'ld', 'oth', 'mo', 'al', 'soc', 'agg
 @pytest.fixture(scope="module")
 def data_root(tmp_path_factory):
     root = str(tmp_path_factory.mktemp("e2e"))
-    generate(root, n_clips=8, clip_seconds=2.0, seed=1)
+    # 1-s clips: with TINY_CONV (stride 4) that is T=2000 feature frames.
+    # On the CPU test backend attention densifies to (B, H, T, T), so clip
+    # length dominates e2e runtime — 2-s clips made this file take >1 h.
+    generate(root, n_clips=8, clip_seconds=1.0, seed=1)
     return root
 
 
@@ -48,7 +51,7 @@ def e2e_config(data_root, ckpt_dir):
         conv_feature_layers=TINY_CONV,
         with_labels=True,
         sample_rate=8000,
-        max_sample_size=16_000,
+        max_sample_size=8_000,
         verbose_tensorboard_logging=True,
     )
     cfg.dataset = DatasetConfig(
@@ -162,7 +165,7 @@ class TestInferCLI:
             "--wav", wav_path, "--checkpoint", ckpt, "--config", cfg_path,
             "--threshold", "0.05", "--out", out_path,
             "--max-batch-size", "2",
-            f"task.max_sample_size=16000",
+            "task.max_sample_size=8000",
         ])
         events = json.load(open(out_path))
         assert set(events) == set(cfg.task.labels())
@@ -189,7 +192,7 @@ class TestExportCLI:
             "--checkpoint", ckpt, "--config", cfg_path, "--out-path", out_dir,
             "--export-predictions", "--export-embeddings",
             "--batch-size", "2", "--average-end-k-layers", "2",
-            "task.max_sample_size=16000",
+            "task.max_sample_size=8000",
         ])
         files = os.listdir(out_dir)
         pred = [f for f in files if f.startswith("predictions")]
