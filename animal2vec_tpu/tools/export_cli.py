@@ -62,7 +62,9 @@ def main(argv=None):
         use_focal_loss=cfg.criterion.use_focal_loss,
         conv_layers=cfg.task.conv_layers(),
     )
-    target_len = 10 * cfg.task.sample_rate
+    # pad/crop length follows the task config (reference uses the dataset's
+    # max_sample_size, nn/audio_tasks.py:392-394); default 10 s
+    target_len = cfg.task.max_sample_size or 10 * cfg.task.sample_rate
     loader = BatchLoader(
         ds, target_len=target_len, batch_size=args.batch_size,
         shuffle=False, train=False, drop_last=False, num_workers=2,

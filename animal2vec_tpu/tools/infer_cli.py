@@ -50,11 +50,17 @@ def infer_long_file(
     method: str = "avg",
     threshold: float | None = None,
     max_batch_size: int = 16,
-    segment_length: float = 10.0,
+    segment_length: float | None = None,
 ):
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    if segment_length is None:
+        sr_cfg = cfg.task.sample_rate
+        segment_length = (
+            cfg.task.max_sample_size / sr_cfg if cfg.task.max_sample_size else 10.0
+        )
 
     from animal2vec_tpu.data.wavio import read_wav
     from animal2vec_tpu.evalx.segmentation import fuse_predict
