@@ -37,7 +37,14 @@ def build_mesh(
     dp = cfg.data_parallel if cfg else -1
     if dp == -1:
         dp = n // mp
-    assert dp * mp <= n, f"mesh {dp}x{mp} needs more than {n} devices"
+    if dp * mp > n:
+        raise ValueError(
+            f"mesh data={dp} x model={mp} needs {dp * mp} devices but only "
+            f"{n} are visible ({[getattr(d, 'platform', d) for d in devices[:4]]}...). "
+            "On a single-chip host, force a virtual CPU mesh first: set "
+            "JAX_PLATFORMS=cpu and XLA_FLAGS=--xla_force_host_platform_device_count=N "
+            "before jax initializes (see tests/conftest.py / __graft_entry__._force_virtual_cpu)."
+        )
     arr = np.asarray(devices[: dp * mp]).reshape(dp, mp)
     return Mesh(arr, ("data", "model"))
 
