@@ -418,6 +418,9 @@ class CheckpointConfig:
     best_checkpoint_metric: str = ""
     maximize_best_checkpoint_metric: bool = True
     restore_file: str = ""
+    # early-stop after N validations without best-metric improvement; 0 = off
+    # (reference: checkpoint.patience, nn/audio_train_routine.py:233-258)
+    patience: int = 0
 
 
 @dataclass

@@ -20,7 +20,10 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--config", required=True)
     parser.add_argument("--max-steps", type=int, default=None, help="debug cap")
-    parser.add_argument("--patience", type=int, default=0)
+    parser.add_argument(
+        "--patience", type=int, default=None,
+        help="override checkpoint.patience (early-stop validations)",
+    )
     parser.add_argument(
         "--pretrained", default="", help="checkpoint dir or fairseq .pt to warm-start finetuning"
     )

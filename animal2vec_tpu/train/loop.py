@@ -267,7 +267,7 @@ def run_finetune(
     cfg: Config,
     pretrained_params=None,
     max_steps: Optional[int] = None,
-    patience: int = 0,
+    patience: Optional[int] = None,
 ) -> Dict[str, float]:
     """Full finetuning run with validation + best-F1 checkpointing."""
     mesh = build_mesh(cfg.distributed)
@@ -300,7 +300,12 @@ def run_finetune(
     acc = MetricsAccumulator()
     limit = min(cfg.optimization.max_update, max_steps or cfg.optimization.max_update)
     rng = jax.random.PRNGKey(cfg.common.seed + 23)
-    stopper = EarlyStopper(patience, True)
+    # CLI arg overrides the config knob when given (reference sets
+    # checkpoint.patience in the finetune YAMLs)
+    stopper = EarlyStopper(
+        cfg.checkpoint.patience if patience is None else patience,
+        cfg.checkpoint.maximize_best_checkpoint_metric,
+    )
     run_stop = RunStopper(cfg, limit)
     stop_reason = None
     last = {}
@@ -367,21 +372,18 @@ def validate_finetune(cfg, model, state, eval_fn, mesh, sink, step) -> Dict[str,
                 all_probs.append(np.asarray(preds))
                 all_targets.append(np.asarray(batch["target"]))
     out = acc.summary()
-    if all_probs:
-        probs = np.concatenate(all_probs, 0)
-        targets = np.concatenate(all_targets, 0)
-        if jax.process_count() > 1:
-            # cross-host gather of the raw prediction tensors — replaces
-            # fairseq's pickle all_gather_list of un-summable logging outputs
-            # (nn/criterions.py:368-377, nn/audio_train_routine.py:449-453)
-            from jax.experimental import multihost_utils
-
-            probs = np.concatenate(
-                multihost_utils.process_allgather(probs, tiled=False), 0
-            )
-            targets = np.concatenate(
-                multihost_utils.process_allgather(targets, tiled=False), 0
-            )
+    # cross-host gather of the raw prediction tensors — replaces fairseq's
+    # pickle all_gather_list of un-summable logging outputs
+    # (nn/criterions.py:368-377, nn/audio_train_routine.py:449-453).
+    # Runs unconditionally on every host: BatchLoader shards eval items
+    # order[host::hosts] with drop_last=False, so hosts can hold unequal
+    # (even zero) sample counts and a skipped collective would deadlock.
+    probs = np.concatenate(all_probs, 0).astype(np.float32) if all_probs else None
+    targets = np.concatenate(all_targets, 0).astype(np.int32) if all_targets else None
+    if jax.process_count() > 1:
+        probs = _allgather_uneven(probs, np.float32)
+        targets = _allgather_uneven(targets, np.int32)
+    if probs is not None and probs.shape[0] > 0:
         segmented = None
         if cfg.criterion.segmentation_metrics:
             md = {
@@ -409,6 +411,38 @@ def validate_finetune(cfg, model, state, eval_fn, mesh, sink, step) -> Dict[str,
     sink.log(out, step)
     logger.info("valid %d %s", step, _fmt(out))
     return out
+
+
+def _allgather_uneven(x: Optional[np.ndarray], dtype) -> np.ndarray:
+    """All-gather (B_i, T, C) arrays whose leading dims differ per host
+    (B_i may be zero). ``process_allgather`` requires identical shapes and
+    dtypes on every process, so gather counts + trailing shapes first, pad
+    every host to the max, then trim."""
+    from jax.experimental import multihost_utils as mh
+
+    local = (
+        np.zeros((0, 0, 0), dtype) if x is None else np.asarray(x, dtype)
+    )
+    meta = np.asarray(
+        [local.shape[0], *(local.shape[1:] if local.ndim == 3 else (0, 0))],
+        np.int64,
+    )
+    metas = np.asarray(mh.process_allgather(meta, tiled=False)).reshape(-1, 3)
+    counts = metas[:, 0]
+    max_n = int(counts.max())
+    t = int(metas[:, 1].max())
+    c = int(metas[:, 2].max())
+    if max_n == 0:
+        return np.zeros((0, t, c), dtype)
+    padded = np.zeros((max_n, t, c), dtype)
+    if local.size:
+        padded[: local.shape[0]] = local
+    g = np.asarray(mh.process_allgather(padded, tiled=False)).reshape(
+        (-1, max_n, t, c)
+    )
+    return np.concatenate(
+        [g[h, : int(counts[h])] for h in range(g.shape[0])], 0
+    )
 
 
 def _fmt(metrics: Dict[str, float]) -> str:

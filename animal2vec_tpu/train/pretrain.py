@@ -88,7 +88,10 @@ def pretrain_loss(
     local = constrain_batch(local)
     b, t, c = local.shape
 
-    clone = mcfg.clone_batch if train else mcfg.clone_batch
+    # clone_batch applies in eval too: the reference's valid_step runs the
+    # full forward (not features_only), and contextualized_features clones
+    # whenever mask=True (nn/data2vec2.py:629-637, base.py:241-261)
+    clone = mcfg.clone_batch
     local_c = jnp.repeat(local, clone, axis=0) if clone > 1 else local
 
     if mode == "IMAGE" and acfg.mask_length > 1:

@@ -207,3 +207,37 @@ class TestExportCLI:
         with h5py.File(os.path.join(out_dir, emb[0])) as f:
             grp = f[list(f.keys())[0]]
             assert grp["embedding"].shape[-1] == 32
+
+
+class TestPatienceAndGather:
+    def test_patience_read_from_config(self, data_root, tmp_path, monkeypatch):
+        """checkpoint.patience reaches the EarlyStopper (reference knob
+        nn/audio_train_routine.py:233-258); CLI arg overrides it."""
+        from animal2vec_tpu.train import loop
+
+        captured = {}
+        real = loop.EarlyStopper
+
+        def spy(patience, maximize):
+            captured["patience"] = patience
+            captured["maximize"] = maximize
+            return real(patience, maximize)
+
+        monkeypatch.setattr(loop, "EarlyStopper", spy)
+        cfg = e2e_config(data_root, str(tmp_path / "ck"))
+        cfg.checkpoint.patience = 3
+        loop.run_finetune(cfg, max_steps=0)
+        assert captured == {"patience": 3, "maximize": True}
+        loop.run_finetune(cfg, max_steps=0, patience=7)
+        assert captured["patience"] == 7
+
+    def test_allgather_uneven_single_process(self):
+        """Pass-through on one host; empty-host path returns a 0-row array
+        instead of skipping the collective (deadlock fix)."""
+        from animal2vec_tpu.train.loop import _allgather_uneven
+
+        x = np.arange(24, dtype=np.float32).reshape(2, 3, 4)
+        out = _allgather_uneven(x, np.float32)
+        np.testing.assert_array_equal(out, x)
+        empty = _allgather_uneven(None, np.float32)
+        assert empty.shape[0] == 0
