@@ -183,6 +183,11 @@ class BatchLoader:
         self.host_count = host_count
         self.train = train
         self.epoch = 0
+        # groups already consumed within the current epoch — advances as
+        # batches are yielded so a checkpointed (epoch, position) resumes
+        # the exact remaining batch sequence (reference restores the epoch
+        # iterator position, nn/audio_train_routine.py:176-181)
+        self.position = 0
         self._native = False
         if use_native:
             try:
@@ -195,13 +200,16 @@ class BatchLoader:
             self.target_frames = label_frame_length(target_len, dataset.conv_layers)
 
     def set_epoch(self, epoch: int):
+        if epoch != self.epoch:
+            self.position = 0
         self.epoch = epoch
 
     def state_dict(self) -> Dict:
-        return {"epoch": self.epoch}
+        return {"epoch": self.epoch, "position": self.position}
 
     def load_state_dict(self, d: Dict):
         self.epoch = int(d.get("epoch", 0))
+        self.position = int(d.get("position", 0))
 
     def __len__(self) -> int:
         per_host = len(self.dataset) // self.host_count
@@ -284,14 +292,25 @@ class BatchLoader:
             batch["target"] = np.stack([i["target"] for i in items])
         return batch
 
+    def _group_seed(self, pos: int) -> int:
+        """Crop/augment seed for epoch-group ``pos`` — a pure function of
+        (seed, epoch, position) so a mid-epoch resume regenerates identical
+        crops for the remaining groups."""
+        return int(
+            np.random.default_rng((self.seed, self.epoch, pos)).integers(0, 2**31)
+        )
+
     def _epoch_batches(self) -> Iterator[Dict[str, np.ndarray]]:
         order = self._order()
-        rng = np.random.default_rng(self.seed * 7919 + self.epoch)
         group = self.batch_size * self.accum
         n_full = len(order) // group
         ranges = [order[i * group: (i + 1) * group] for i in range(n_full)]
         if not self.drop_last and len(order) % group:
             ranges.append(order[n_full * group:])
+        # mid-epoch resume: skip groups already consumed before the restore
+        start = self.position if 0 < self.position < len(ranges) else 0
+        self.position = start
+        ranges = ranges[start:]
 
         work_q: "queue.Queue" = queue.Queue(maxsize=self.num_workers * 2)
         out_q: "queue.Queue" = queue.Queue(maxsize=self.num_workers * 2)
@@ -326,7 +345,7 @@ class BatchLoader:
 
         def feeder():
             for pos, idxs in enumerate(ranges):
-                work_q.put((pos, idxs, int(rng.integers(0, 2**31))))
+                work_q.put((pos, idxs, self._group_seed(start + pos)))
             for _ in threads:
                 work_q.put(None)
 
@@ -342,8 +361,11 @@ class BatchLoader:
             pending[pos] = batch
             received += 1
             while next_pos in pending:
-                yield pending.pop(next_pos)
+                batch_out = pending.pop(next_pos)
                 next_pos += 1
+                self.position = start + next_pos
+                yield batch_out
+        self.position = 0  # epoch fully consumed
         for t in threads:
             t.join(timeout=1)
 

@@ -42,9 +42,15 @@ def conv1d_mm(
 
     t_pad = t + pad[0] + pad[1]
     t_out = (t_pad - k) // s + 1
-    # length so every stride-group row and every shifted view is in range
+    # length so every stride-group row and every shifted view is in range.
+    # need can be smaller than pad[0]+t when (t_pad-k) % s exceeds
+    # n_taps*s-k: the excess tail contributes to no output row, so crop it
+    # (never pad by a negative amount).
     need = (t_out + n_taps - 1) * s
-    xp = jnp.pad(x, ((0, 0), (pad[0], need - t - pad[0]), (0, 0)))
+    right = need - t - pad[0]
+    xp = jnp.pad(x, ((0, 0), (pad[0], max(0, right)), (0, 0)))
+    if right < 0:
+        xp = xp[:, :need]
     xr = xp.reshape(b, need // s, s * c_in)
 
     wk = kernel.reshape(k, c_in, c_out)

@@ -283,8 +283,10 @@ def run_finetune(
         best_metric=cfg.checkpoint.best_checkpoint_metric or "metrics/finetune/f1",
         maximize=True,
     )
+    loader_state = {}
     if ckpt.latest_step() is not None:
-        state, _ = ckpt.restore(template=state)
+        state, extra = ckpt.restore(template=state)
+        loader_state = extra.get("loader", {})
         logger.info("restored checkpoint at step %d", int(state.step))
 
     shardings = param_sharding(state.params, mesh, fsdp=cfg.distributed.fsdp)
@@ -296,6 +298,7 @@ def run_finetune(
     eval_fn = jax.jit(make_finetune_eval_step(model, cfg))
     accum = max(1, cfg.optimization.update_freq)
     loader = _build_loader(cfg, cfg.dataset.train_subset, True, accum)
+    loader.load_state_dict(loader_state)
     sink = TensorboardSink(cfg.common.tensorboard_logdir)
     acc = MetricsAccumulator()
     limit = min(cfg.optimization.max_update, max_steps or cfg.optimization.max_update)

@@ -40,11 +40,15 @@ def main():
     wav_len = 80_000  # 10 s @ 8 kHz
     rng = jax.random.PRNGKey(0)
     params = model.init({"params": rng}, jnp.zeros((1, wav_len)))
-    if os.environ.get("A2V_BENCH_CAST", "") == "bf16":
-        # serving-style pre-cast: store matmul weights in bf16 so the
-        # per-step fp32->bf16 casts disappear (norm/sinc params stay fp32)
+    if os.environ.get("A2V_BENCH_CAST", "bf16") == "bf16":
+        # serving-style pre-cast (default): store matmul weights in bf16 so
+        # the per-step fp32->bf16 casts disappear. Sinc frequency params
+        # (conv_0) and alibi scales are consumed in fp32 and stay fp32;
+        # 1-D norm/bias params are untouched by the ndim filter.
         def cast(path, x):
-            name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+            names = [p.key if hasattr(p, "key") else str(p) for p in path]
+            if any(n in ("conv_0", "alibi_scale") for n in names):
+                return x
             if x.dtype == jnp.float32 and x.ndim >= 2:
                 return x.astype(jnp.bfloat16)
             return x

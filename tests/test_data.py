@@ -173,3 +173,56 @@ class TestDataset:
         assert b["padding_mask"].shape == (2, 20_000)
         assert b["padding_mask"][:, -1].all()  # tail is padding
         assert not b["padding_mask"][:, 0].any()
+
+
+class TestMidEpochResume:
+    """Checkpointing (epoch, position) and resuming yields the identical
+    remaining batch sequence — including random crops — as an uninterrupted
+    epoch (reference restores the epoch iterator position,
+    nn/audio_train_routine.py:176-181)."""
+
+    def _loader(self, synth_root, seed=11):
+        ds = AudioLabelDataset(
+            os.path.join(synth_root, "train_0.tsv"),
+            return_labels=True,
+            unique_labels=LABELS,
+            conv_layers=MEERKAT_CONV,
+        )
+        return BatchLoader(
+            ds, target_len=12_000, batch_size=2, accum=1, seed=seed, num_workers=2
+        )
+
+    @staticmethod
+    def _fingerprint(batch):
+        return (
+            batch["id"].tolist(),
+            float(np.abs(batch["source"]).sum()),
+            float(batch["target"].sum()),
+        )
+
+    def test_resume_equals_uninterrupted(self, synth_root):
+        full = [self._fingerprint(b) for b in self._loader(synth_root)]
+        assert len(full) == 3
+
+        interrupted = self._loader(synth_root)
+        it = iter(interrupted)
+        got = [self._fingerprint(next(it))]
+        saved = interrupted.state_dict()
+        assert saved == {"epoch": 0, "position": 1}
+        del it  # "preemption"
+
+        resumed = self._loader(synth_root)
+        resumed.load_state_dict(saved)
+        got += [self._fingerprint(b) for b in resumed]
+        assert got == full
+        # epoch fully consumed -> position rolls back to 0 for the next epoch
+        assert resumed.state_dict() == {"epoch": 0, "position": 0}
+
+    def test_epoch_change_resets_position(self, synth_root):
+        loader = self._loader(synth_root)
+        it = iter(loader)
+        next(it)
+        assert loader.position == 1
+        loader.set_epoch(1)
+        assert loader.position == 0
+        assert len(list(loader)) == 3

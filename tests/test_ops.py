@@ -388,3 +388,38 @@ class TestChunking:
         wav = np.ones(4000, np.float32)
         batches = ops.chunk_and_normalize(wav, 10.0, 8000, False, 4)
         assert len(batches) == 1 and batches[0].shape == (1, 4000)
+
+
+class TestConvMM:
+    """conv1d_mm (stride-grouped matmul decomposition) must match
+    lax.conv_general_dilated bit-for-... well, to fp32 tolerance, including
+    lengths where (t+pads-k) % stride exceeds n_taps*stride-k (the
+    negative-pad regression: t=13,k=5,s=3,pad=(0,0))."""
+
+    @pytest.mark.parametrize(
+        "t,k,s,pad",
+        [
+            (13, 5, 3, (0, 0)),     # regression: need < t + pad[0]
+            (800, 10, 5, (3, 3)),   # MeerKAT L1 shape class
+            (200, 3, 2, (1, 1)),    # strided small kernel
+            (50, 3, 1, (1, 1)),     # stride-1 'same'
+            (50, 2, 1, (0, 1)),     # even kernel torch-'same' split
+            (17, 4, 3, (2, 2)),     # k > s, non-divisible tail
+            (16, 7, 4, (2, 2)),     # n_taps rounding up
+        ],
+    )
+    def test_matches_xla_conv(self, t, k, s, pad, rng):
+        import jax
+        from animal2vec_tpu.ops.conv_mm import conv1d_mm
+
+        c_in, c_out, b = 6, 8, 2
+        x = jnp.asarray(rng.normal(size=(b, t, c_in)).astype(np.float32))
+        kern = jnp.asarray(rng.normal(size=(k, c_in, c_out)).astype(np.float32))
+        bias = jnp.asarray(rng.normal(size=(c_out,)).astype(np.float32))
+        ref = jax.lax.conv_general_dilated(
+            x, kern, window_strides=(s,), padding=[pad],
+            dimension_numbers=("NHC", "HIO", "NHC"),
+        ) + bias
+        got = conv1d_mm(x, kern, bias, s, pad)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-4)
