@@ -166,14 +166,22 @@ def flash_attention_tpu(
 
 
 def pallas_eligible(bias, t: int, has_dropout: bool, impl: str) -> bool:
-    """Whether the structured-ALiBi Pallas kernel path applies."""
+    """Whether the structured-ALiBi Pallas kernel path applies. Attention
+    dropout no longer disqualifies: the kernel draws a hash-based mask
+    inline and reproduces it exactly in the Pallas backward."""
+    del has_dropout
     return (
         isinstance(bias, AlibiSpec)
         and impl != "xla"
         and _on_tpu()
         and t >= 256
-        and not has_dropout
     )
+
+
+def dropout_seed(rng) -> jnp.ndarray:
+    """Derive the int32 seed the Pallas kernel's hash dropout consumes from
+    a jax PRNG key."""
+    return jax.random.bits(rng, dtype=jnp.uint32).astype(jnp.int32)
 
 
 def multihead_attention(
@@ -197,13 +205,15 @@ def multihead_attention(
     t = q.shape[1]
     has_dropout = dropout_rate > 0.0 and dropout_rng is not None
     if isinstance(bias, AlibiSpec):
-        use_pallas = impl != "xla" and _on_tpu() and t >= 256 and not has_dropout
-        if use_pallas or (impl == "flash" and not has_dropout):
+        use_pallas = impl != "xla" and _on_tpu() and t >= 256
+        if use_pallas or impl == "flash":
             from animal2vec_tpu.ops.pallas_attention import alibi_flash_attention
 
             return alibi_flash_attention(
                 q, k, v, bias.slopes, bias.positions, padding_mask,
                 use_pallas, bias.has_sentinel,
+                dropout_rate if has_dropout else 0.0,
+                dropout_seed(dropout_rng) if has_dropout else None,
             )
         bias = bias.densify()
     use_flash = impl == "flash" or (

@@ -28,6 +28,31 @@ from animal2vec_tpu.models.attention import multihead_attention
 default_kernel_init = nn.initializers.xavier_uniform()
 
 
+def quantized_matmul(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """int8 x int8 matmul on the MXU (~2x the bf16 rate on v5e).
+
+    Weights: per-output-channel symmetric scales; activations: per-token
+    dynamic scales. Both quantizations are cheap VPU elementwise passes, and
+    the weight half is loop-invariant — XLA hoists it out of scan/step loops
+    so steady-state serving pays only the activation quant. Serving-only
+    numeric (config: model.matmul_impl=int8); training stays bf16/fp32.
+
+    x: (..., K); kernel: (K, N) fp32/bf16. Returns (..., N) in x.dtype.
+    """
+    w32 = kernel.astype(jnp.float32)
+    w_scale = jnp.max(jnp.abs(w32), axis=0, keepdims=True) / 127.0  # (1, N)
+    w_q = jnp.round(w32 / jnp.maximum(w_scale, 1e-12)).astype(jnp.int8)
+    x32 = x.astype(jnp.float32)
+    x_scale = jnp.max(jnp.abs(x32), axis=-1, keepdims=True) / 127.0  # (..., 1)
+    x_q = jnp.round(x32 / jnp.maximum(x_scale, 1e-12)).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        x_q, w_q,
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return (y.astype(jnp.float32) * x_scale * w_scale).astype(x.dtype)
+
+
 class Fp32LayerNorm(nn.Module):
     """LayerNorm with fp32 statistics, cast back to input dtype
     (fairseq Fp32LayerNorm semantics, consumed at nn/modalities/audio.py:86)."""
@@ -184,6 +209,7 @@ class AltAttention(nn.Module):
         qkv = QKVProj(3 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")
         proj = OutProj(c, dtype=self.dtype, name="proj")
         if fast:
+            from animal2vec_tpu.models.attention import dropout_seed
             from animal2vec_tpu.ops.pallas_attention import (
                 alibi_flash_attention_packed,
             )
@@ -192,6 +218,8 @@ class AltAttention(nn.Module):
             out = alibi_flash_attention_packed(
                 packed, bias.slopes, bias.positions, padding_mask,
                 bias.has_sentinel,
+                self.attn_drop if has_dropout else 0.0,
+                dropout_seed(self.make_rng("dropout")) if has_dropout else None,
             )
             out = proj(out, bhtd=True)
         else:

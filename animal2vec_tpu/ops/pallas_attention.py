@@ -15,10 +15,19 @@ gigabytes at batch 32. This kernel keeps everything in VMEM tiles:
   (finite, so fully-padded query rows stay NaN-free like the reference's
   fp32 softmax over -inf rows would not).
 
-The backward pass is the mathematically-identical XLA einsum attention
-(custom_vjp); a Pallas backward kernel is a planned optimization — training
-sequences are short (pretrain keep-set ~128 tokens) so the forward kernel is
-where the HBM win is.
+Training support:
+
+* **Pallas backward kernels** (dq+dslopes pass and dk/dv pass, standard
+  flash recipe): the forward saves (out, logsumexp); the backward recomputes
+  score tiles in VMEM, so finetune training at T=2048 never materializes the
+  (B, H, T, T) matrix the reference's autograd does.
+* **In-kernel attention dropout** via a counter-based hash of
+  (seed, batch*head, global_row, global_col) — pure uint32 VPU ops, so the
+  identical mask regenerates in both backward passes (and in interpret mode
+  on CPU, unlike pltpu.prng_*). Probabilities are dropped *after*
+  normalization semantics (mask scales exp-weights; the softmax denominator
+  uses undropped weights), exactly matching `softmax -> nn.Dropout -> @ v`
+  (nn/modalities/modules.py:404-406).
 """
 
 from __future__ import annotations
@@ -47,8 +56,40 @@ def attention_padded_len(t: int, block_q: int = 1024, block_k: int = 2048) -> in
     return _ceil_to(t, max(bq, bk))
 
 
+def _dropout_keep(seed, bh_id, rows, cols, rate: float):
+    """Deterministic per-element keep mask: murmur-style finalizer over
+    (seed, batch*head, global_row, global_col). Pure uint32 VPU ops — the
+    same mask regenerates in forward and both backward passes regardless of
+    block layout, and it runs in interpret mode (pltpu.prng_* does not).
+    rows: (bq, 1) int32 global q indices; cols: (1, bk) int32."""
+    z = (
+        rows.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
+        + cols.astype(jnp.uint32) * jnp.uint32(0x85EBCA77)
+    )
+    z = z ^ (seed.astype(jnp.uint32) + bh_id.astype(jnp.uint32) * jnp.uint32(0xC2B2AE3D))
+    z = z ^ (z >> 15)
+    z = z * jnp.uint32(0x2C1B3C6D)
+    z = z ^ (z >> 12)
+    z = z * jnp.uint32(0x297A2D39)
+    z = z ^ (z >> 15)
+    thresh = jnp.uint32(min(int(rate * 4294967296.0), 4294967295))
+    return (z >= thresh).astype(jnp.float32)  # (bq, bk)
+
+
+def _tile_bias(slope, pos_q_ref, pos_k_ref, has_sentinel: bool):
+    slope_pos_q = pos_q_ref[0, 0][:, None].astype(jnp.float32)  # (bq, 1)
+    slope_pos_k = pos_k_ref[0, 0][None, :].astype(jnp.float32)  # (1, bk)
+    dist = jnp.abs(slope_pos_q - slope_pos_k)
+    if has_sentinel:
+        # extra tokens carry sentinel position < 0 -> zero bias either side
+        sentinel = jnp.logical_or(slope_pos_q < 0, slope_pos_k < 0)
+        dist = jnp.where(sentinel, 0.0, dist)
+    return -slope * dist, dist
+
+
 def _kernel(
     slope_ref,  # SMEM (H, 1): scaled slopes, indexed by the head program id
+    seed_ref,   # SMEM (1,) int32 dropout seed
     q_ref,      # VMEM (1, 1, bq, d)
     k_ref,      # VMEM (1, 1, bk, d)
     v_ref,      # VMEM (1, 1, bk, d)
@@ -56,16 +97,19 @@ def _kernel(
     pos_k_ref,  # VMEM (1, 1, bk) int32
     mask_ref,   # VMEM (1, 1, bk) int32 (1 = masked/pad)
     o_ref,      # VMEM (1, 1, bq, d)
+    lse_ref,    # VMEM (1, 1, bq) f32: m + log(l), saved for the backward
     m_scr,      # VMEM (bq, 1) f32
     l_scr,      # VMEM (bq, 1) f32
     acc_scr,    # VMEM (bq, d) f32
     *,
     sm_scale: float,
+    n_heads: int,
     n_k: int,
     block_q: int,
     block_k: int,
     has_sentinel: bool,
     has_mask: bool,
+    dropout_rate: float,
 ):
     ki = pl.program_id(3)
 
@@ -88,13 +132,7 @@ def _kernel(
     )  # (bq, bk) fp32
 
     slope = slope_ref[pl.program_id(1), 0]
-    pos_q = pos_q_ref[0, 0][:, None].astype(jnp.float32)  # (bq, 1)
-    pos_k = pos_k_ref[0, 0][None, :].astype(jnp.float32)  # (1, bk)
-    bias = -slope * jnp.abs(pos_q - pos_k)
-    if has_sentinel:
-        # extra tokens carry sentinel position < 0 -> zero bias either side
-        sentinel = jnp.logical_or(pos_q < 0, pos_k < 0)
-        bias = jnp.where(sentinel, 0.0, bias)
+    bias, _ = _tile_bias(slope, pos_q_ref, pos_k_ref, has_sentinel)
     s = s + bias
     if has_mask:
         s = jnp.where(mask_ref[0, 0][None, :] != 0, NEG_INF, s)
@@ -104,10 +142,23 @@ def _kernel(
     m_new = jnp.maximum(m_prev, m_cur)
     alpha = jnp.exp(m_prev - m_new)
     p = jnp.exp(s - m_new)  # (bq, bk)
+    # softmax denominator always uses the undropped weights (reference
+    # applies nn.Dropout after the full softmax, modules.py:404-406)
     l_new = alpha * l_scr[...] + jnp.sum(p, axis=1, keepdims=True)
+    pv = p
+    if dropout_rate > 0.0:
+        rows = pl.program_id(2) * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, 1), 0
+        )
+        cols = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (1, block_k), 1
+        )
+        bh = pl.program_id(0) * n_heads + pl.program_id(1)
+        keep = _dropout_keep(seed_ref[0], bh, rows, cols, dropout_rate)
+        pv = p * (keep / (1.0 - dropout_rate))
     v_blk = v_ref[...].reshape(v_ref.shape[-2], v_ref.shape[-1])
     acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
-        p.astype(v_blk.dtype), v_blk,
+        pv.astype(v_blk.dtype), v_blk,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -118,6 +169,7 @@ def _kernel(
     def _finish():
         l = jnp.maximum(l_scr[...], 1e-30)
         o_ref[0, 0] = (acc_scr[...] / l).astype(o_ref.dtype)
+        lse_ref[0, 0] = (m_scr[...] + jnp.log(l))[:, 0]
 
 
 def _pallas_forward(
@@ -131,7 +183,11 @@ def _pallas_forward(
     block_k: int = 2048,
     has_sentinel: bool = True,
     bhtd_layout: bool = False,
-) -> jnp.ndarray:
+    dropout_rate: float = 0.0,
+    seed: Optional[jnp.ndarray] = None,
+):
+    """Returns (out, lse) with out in the input layout and lse (B, H, T_pad)
+    fp32 (consumed by the Pallas backward)."""
     if bhtd_layout:
         b, h, t, d = q.shape
     else:
@@ -174,19 +230,25 @@ def _pallas_forward(
     interpret = jax.default_backend() != "tpu"  # CPU tests run interpreted
     # key padding only matters when a padding mask exists or we padded t
     mask_needed = padding_mask is not None or t_pad != t
-    out = pl.pallas_call(
+    seed_arr = (
+        jnp.zeros((1,), jnp.int32) if seed is None else seed.reshape(1).astype(jnp.int32)
+    )
+    out, lse = pl.pallas_call(
         functools.partial(
             _kernel,
             sm_scale=d**-0.5,
+            n_heads=h,
             n_k=n_k,
             block_q=block_q,
             block_k=block_k,
             has_sentinel=has_sentinel,
             has_mask=mask_needed,
+            dropout_rate=dropout_rate,
         ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((h, 1), lambda bi, hi, qi, ki: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
             pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
             pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
@@ -194,10 +256,18 @@ def _pallas_forward(
             pl.BlockSpec((1, 1, block_k), lambda bi, hi, qi, ki: (bi, 0, ki)),
             pl.BlockSpec((1, 1, block_k), lambda bi, hi, qi, ki: (bi, 0, ki)),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, h, t_pad, d), dtype),
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+            # (B*H, 1, T) layout: block (1, 1, bq) satisfies the TPU tiling
+            # rule (second-to-last block dim == full array dim)
+            pl.BlockSpec(
+                (1, 1, block_q), lambda bi, hi, qi, ki, n_h=h: (bi * n_h + hi, 0, qi)
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, t_pad, d), dtype),
+            jax.ShapeDtypeStruct((b * h, 1, t_pad), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -207,16 +277,286 @@ def _pallas_forward(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(slope_arr, qp, kp, vp, pos, pos, mask)
+    )(slope_arr, seed_arr, qp, kp, vp, pos, pos, mask)
+    lse = lse.reshape(b, h, t_pad)
     if bhtd_layout:
-        return out[:, :, :t]  # (B, H, T, D)
-    return jnp.swapaxes(out, 1, 2)[:, :t]
+        return out[:, :, :t], lse  # (B, H, T, D)
+    return jnp.swapaxes(out, 1, 2)[:, :t], lse
 
 
-def _reference_attention(q, k, v, slopes, positions, padding_mask):
-    """XLA einsum attention with the identical bias math; used as the
-    numerical reference and for the backward pass."""
-    d = q.shape[-1]
+def _bwd_dq_kernel(
+    slope_ref, seed_ref,
+    q_ref, k_ref, v_ref, do_ref,      # (1,1,bq,d)/(1,1,bk,d)/(1,1,bk,d)/(1,1,bq,d)
+    lse_ref, delta_ref,               # (1,1,bq) f32
+    pos_q_ref, pos_k_ref, mask_ref,   # (1,1,bq)/(1,1,bk)/(1,1,bk) int32
+    dq_ref,                           # (1,1,bq,d)
+    dsl_ref,                          # (1,1,1,128) f32 per-(b,h) slope grad
+    dq_scr, dsl_scr,                  # VMEM (bq,d) f32, (1,1) f32
+    *, sm_scale, n_heads, n_k, block_q, block_k,
+    has_sentinel, has_mask, dropout_rate,
+):
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+        dsl_scr[...] = jnp.zeros_like(dsl_scr)
+
+    q = q_ref[...].reshape(q_ref.shape[-2], q_ref.shape[-1])
+    k = k_ref[...].reshape(k_ref.shape[-2], k_ref.shape[-1])
+    v = v_ref[...].reshape(v_ref.shape[-2], v_ref.shape[-1])
+    do = do_ref[...].reshape(do_ref.shape[-2], do_ref.shape[-1])
+    s = jax.lax.dot_general(
+        q * jnp.asarray(sm_scale, q.dtype), k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    slope = slope_ref[pl.program_id(1), 0]
+    bias, dist = _tile_bias(slope, pos_q_ref, pos_k_ref, has_sentinel)
+    s = s + bias
+    if has_mask:
+        s = jnp.where(mask_ref[0, 0][None, :] != 0, NEG_INF, s)
+    p = jnp.exp(s - lse_ref[0, 0][:, None])  # normalized probs (bq, bk)
+
+    dp = jax.lax.dot_general(  # dO @ V^T -> (bq, bk)
+        do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if dropout_rate > 0.0:
+        rows = pl.program_id(2) * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, 1), 0
+        )
+        cols = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+        bh = pl.program_id(0) * n_heads + pl.program_id(1)
+        keep = _dropout_keep(seed_ref[0], bh, rows, cols, dropout_rate)
+        dp = dp * (keep / (1.0 - dropout_rate))
+    ds = p * (dp - delta_ref[0, 0][:, None])  # (bq, bk) f32
+    dq_scr[...] += sm_scale * jax.lax.dot_general(
+        ds.astype(k.dtype), k,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dsl_scr[...] += -jnp.sum(ds * dist).reshape(1, 1)
+
+    @pl.when(ki == n_k - 1)
+    def _finish():
+        dq_ref[0, 0] = dq_scr[...].astype(dq_ref.dtype)
+        dsl_ref[0, 0, 0] = jnp.broadcast_to(dsl_scr[0, 0], (128,))
+
+
+def _bwd_dkv_kernel(
+    slope_ref, seed_ref,
+    q_ref, k_ref, v_ref, do_ref,      # q/do indexed by qi; k/v by ki
+    lse_ref, delta_ref,               # (1,1,bq) f32, indexed by qi
+    pos_q_ref, pos_k_ref, mask_ref,
+    dk_ref, dv_ref,                   # (1,1,bk,d)
+    dk_scr, dv_scr,                   # VMEM (bk,d) f32
+    *, sm_scale, n_heads, n_q, block_q, block_k,
+    has_sentinel, has_mask, dropout_rate,
+):
+    qi = pl.program_id(3)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[...].reshape(q_ref.shape[-2], q_ref.shape[-1])
+    k = k_ref[...].reshape(k_ref.shape[-2], k_ref.shape[-1])
+    v = v_ref[...].reshape(v_ref.shape[-2], v_ref.shape[-1])
+    do = do_ref[...].reshape(do_ref.shape[-2], do_ref.shape[-1])
+    s = jax.lax.dot_general(
+        q * jnp.asarray(sm_scale, q.dtype), k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    slope = slope_ref[pl.program_id(1), 0]
+    bias, _ = _tile_bias(slope, pos_q_ref, pos_k_ref, has_sentinel)
+    s = s + bias
+    if has_mask:
+        s = jnp.where(mask_ref[0, 0][None, :] != 0, NEG_INF, s)
+    p = jnp.exp(s - lse_ref[0, 0][:, None])  # (bq, bk)
+
+    pd = p
+    dp = jax.lax.dot_general(
+        do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if dropout_rate > 0.0:
+        rows = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
+        cols = pl.program_id(2) * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (1, block_k), 1
+        )
+        bh = pl.program_id(0) * n_heads + pl.program_id(1)
+        keep = _dropout_keep(seed_ref[0], bh, rows, cols, dropout_rate)
+        dfac = keep / (1.0 - dropout_rate)
+        pd = p * dfac
+        dp = dp * dfac
+    dv_scr[...] += jax.lax.dot_general(  # P^T @ dO -> (bk, d)
+        pd.astype(do.dtype), do,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta_ref[0, 0][:, None])
+    dk_scr[...] += sm_scale * jax.lax.dot_general(  # dS^T @ Q -> (bk, d)
+        ds.astype(q.dtype), q,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(qi == n_q - 1)
+    def _finish():
+        dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _pallas_backward(
+    q, k, v,                 # (B, H, T, D) — padded to t_pad
+    do, out, lse,            # (B, H, T_pad, D) x2, (B, H, T_pad) f32
+    slopes, positions, padding_mask,
+    t: int,
+    block_q: int, block_k: int,
+    has_sentinel: bool, dropout_rate: float, seed,
+):
+    """Flash-attention backward: returns (dq, dk, dv, dslopes) with dq/dk/dv
+    (B, H, T, D) trimmed to t. Inputs q/k/v/do/out/lse are already padded
+    and in BHTD layout."""
+    b, h, t_pad, d = q.shape
+    dtype = q.dtype
+    n_q = t_pad // block_q
+    n_k = t_pad // block_k
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    # (B*H, 1, T) layouts for the per-row vectors (TPU tiling rule)
+    lse_r = lse.reshape(b * h, 1, t_pad)
+    delta_r = delta.reshape(b * h, 1, t_pad)
+
+    pos = positions.astype(jnp.int32)
+    if pos.shape[1] != t_pad:
+        pos = jnp.pad(pos, ((0, 0), (0, t_pad - pos.shape[1])))
+    pos = pos[:, None, :]
+    mask = (
+        jnp.zeros((b, positions.shape[1]), jnp.int32)
+        if padding_mask is None
+        else padding_mask.astype(jnp.int32)
+    )
+    if mask.shape[1] != t_pad:
+        mask = jnp.pad(mask, ((0, 0), (0, t_pad - mask.shape[1])), constant_values=1)
+    mask = mask[:, None, :]
+    mask_needed = padding_mask is not None or t_pad != t
+
+    slope_arr = slopes.astype(jnp.float32).reshape(h, 1)
+    seed_arr = (
+        jnp.zeros((1,), jnp.int32) if seed is None else seed.reshape(1).astype(jnp.int32)
+    )
+    interpret = jax.default_backend() != "tpu"
+    common = dict(
+        sm_scale=d**-0.5, n_heads=h, has_sentinel=has_sentinel,
+        has_mask=mask_needed, dropout_rate=dropout_rate,
+        block_q=block_q, block_k=block_k,
+    )
+
+    dq, dsl = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, n_k=n_k, **common),
+        grid=(b, h, n_q, n_k),
+        in_specs=[
+            pl.BlockSpec((h, 1), lambda bi, hi, qi, ki: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+            pl.BlockSpec(
+                (1, 1, block_q), lambda bi, hi, qi, ki, n_h=h: (bi * n_h + hi, 0, qi)
+            ),
+            pl.BlockSpec(
+                (1, 1, block_q), lambda bi, hi, qi, ki, n_h=h: (bi * n_h + hi, 0, qi)
+            ),
+            pl.BlockSpec((1, 1, block_q), lambda bi, hi, qi, ki: (bi, 0, qi)),
+            pl.BlockSpec((1, 1, block_k), lambda bi, hi, qi, ki: (bi, 0, ki)),
+            pl.BlockSpec((1, 1, block_k), lambda bi, hi, qi, ki: (bi, 0, ki)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, 1, 128), lambda bi, hi, qi, ki: (bi, hi, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, t_pad, d), dtype),
+            jax.ShapeDtypeStruct((b, h, 1, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((1, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(slope_arr, seed_arr, q, k, v, do, lse_r, delta_r, pos, pos, mask)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, n_q=n_q, **common),
+        grid=(b, h, n_k, n_q),
+        in_specs=[
+            pl.BlockSpec((h, 1), lambda bi, hi, ki, qi: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, ki, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki, qi: (bi, hi, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki, qi: (bi, hi, ki, 0)),
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, ki, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec(
+                (1, 1, block_q), lambda bi, hi, ki, qi, n_h=h: (bi * n_h + hi, 0, qi)
+            ),
+            pl.BlockSpec(
+                (1, 1, block_q), lambda bi, hi, ki, qi, n_h=h: (bi * n_h + hi, 0, qi)
+            ),
+            pl.BlockSpec((1, 1, block_q), lambda bi, hi, ki, qi: (bi, 0, qi)),
+            pl.BlockSpec((1, 1, block_k), lambda bi, hi, ki, qi: (bi, 0, ki)),
+            pl.BlockSpec((1, 1, block_k), lambda bi, hi, ki, qi: (bi, 0, ki)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki, qi: (bi, hi, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki, qi: (bi, hi, ki, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, t_pad, d), dtype),
+            jax.ShapeDtypeStruct((b, h, t_pad, d), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(slope_arr, seed_arr, q, k, v, do, lse_r, delta_r, pos, pos, mask)
+
+    dslopes = dsl[:, :, 0, 0].sum(axis=0)  # (H,)
+    return dq[:, :, :t], dk[:, :, :t], dv[:, :, :t], dslopes
+
+
+def _pad_bhtd(x, t_pad):
+    t = x.shape[2]
+    if t_pad == t:
+        return x
+    return jnp.pad(x, ((0, 0), (0, 0), (0, t_pad - t), (0, 0)))
+
+
+def _backward_blocks(t_pad: int):
+    """Backward tile sizes: largest 128-multiple divisor of t_pad up to 512
+    (the bwd kernels hold several (bq,bk) f32 temporaries in VMEM, so tiles
+    stay smaller than the forward's)."""
+    for blk in (512, 384, 256, 128):
+        if t_pad % blk == 0:
+            return blk, blk
+    return t_pad, t_pad  # t_pad < 128 (t_pad is always a 128-multiple)
+
+
+def _reference_attention(q, k, v, slopes, positions, padding_mask,
+                         dropout_rate: float = 0.0, seed=None):
+    """XLA einsum attention with the identical bias (and hash-dropout) math;
+    used as the numerical reference and for the non-Pallas backward."""
+    b, t, h, d = q.shape
     logits = jnp.einsum(
         "bqhd,bkhd->bhqk", q.astype(jnp.float32) * (d**-0.5), k.astype(jnp.float32)
     )
@@ -228,44 +568,93 @@ def _reference_attention(q, k, v, slopes, positions, padding_mask):
     if padding_mask is not None:
         logits = jnp.where(padding_mask[:, None, None, :], NEG_INF, logits)
     probs = jax.nn.softmax(logits, axis=-1)
+    if dropout_rate > 0.0 and seed is not None:
+        rows = jnp.arange(t, dtype=jnp.int32).reshape(1, 1, t, 1)
+        cols = jnp.arange(t, dtype=jnp.int32).reshape(1, 1, 1, t)
+        bh = (
+            jnp.arange(b, dtype=jnp.int32).reshape(b, 1, 1, 1) * h
+            + jnp.arange(h, dtype=jnp.int32).reshape(1, h, 1, 1)
+        )
+        keep = _dropout_keep(
+            jnp.asarray(seed, jnp.int32).reshape(()), bh, rows, cols, dropout_rate
+        )
+        probs = probs * (keep / (1.0 - dropout_rate))
     return jnp.einsum("bhqk,bkhd->bqhd", probs.astype(q.dtype), v)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _run_pallas_backward(q_bthd, k_bthd, v_bthd, g_bthd, out_bthd, lse,
+                         slopes, positions, padding_mask,
+                         has_sentinel, dropout_rate, seed):
+    """Shared bwd driver on BTHD tensors; returns (dq, dk, dv, dslopes)."""
+    t = q_bthd.shape[1]
+    t_pad = lse.shape[-1]
+    to_bhtd = lambda x: _pad_bhtd(jnp.swapaxes(x, 1, 2), t_pad)
+    bq, bk = _backward_blocks(t_pad)
+    dq, dk, dv, dsl = _pallas_backward(
+        to_bhtd(q_bthd), to_bhtd(k_bthd), to_bhtd(v_bthd),
+        to_bhtd(g_bthd), to_bhtd(out_bthd), lse,
+        slopes, positions, padding_mask,
+        t=t, block_q=bq, block_k=bk,
+        has_sentinel=has_sentinel, dropout_rate=dropout_rate, seed=seed,
+    )
+    back = lambda x: jnp.swapaxes(x, 1, 2)
+    return back(dq), back(dk), back(dv), dsl.astype(slopes.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
 def alibi_flash_attention(
     q, k, v, slopes, positions, padding_mask,
     use_pallas: bool = True, has_sentinel: bool = True,
+    dropout_rate: float = 0.0, seed=None,
 ):
     """Flash attention with inline ALiBi from positions.
 
     q/k/v: (B, T, H, D); slopes: (H,) scaled per-head slopes;
     positions: (B, T) int32 (-1 sentinel = zero-bias extra token);
-    padding_mask: optional (B, T) bool.
+    padding_mask: optional (B, T) bool; dropout_rate + seed enable in-kernel
+    attention dropout (hash-based, reproduced exactly in the backward).
     """
     if use_pallas:
-        return _pallas_forward(
-            q, k, v, slopes, positions, padding_mask, has_sentinel=has_sentinel
+        out, _ = _pallas_forward(
+            q, k, v, slopes, positions, padding_mask,
+            has_sentinel=has_sentinel, dropout_rate=dropout_rate, seed=seed,
         )
-    return _reference_attention(q, k, v, slopes, positions, padding_mask)
-
-
-def _fwd(q, k, v, slopes, positions, padding_mask, use_pallas, has_sentinel):
-    out = alibi_flash_attention(
-        q, k, v, slopes, positions, padding_mask, use_pallas, has_sentinel
+        return out
+    return _reference_attention(
+        q, k, v, slopes, positions, padding_mask, dropout_rate, seed
     )
-    return out, (q, k, v, slopes, positions, padding_mask)
 
 
-def _bwd(use_pallas, has_sentinel, res, g):
-    q, k, v, slopes, positions, padding_mask = res
+def _fwd(q, k, v, slopes, positions, padding_mask, use_pallas, has_sentinel,
+         dropout_rate, seed):
+    if use_pallas:
+        out, lse = _pallas_forward(
+            q, k, v, slopes, positions, padding_mask,
+            has_sentinel=has_sentinel, dropout_rate=dropout_rate, seed=seed,
+        )
+        return out, (q, k, v, slopes, positions, padding_mask, seed, out, lse)
+    out = _reference_attention(
+        q, k, v, slopes, positions, padding_mask, dropout_rate, seed
+    )
+    return out, (q, k, v, slopes, positions, padding_mask, seed, None, None)
+
+
+def _bwd(use_pallas, has_sentinel, dropout_rate, res, g):
+    q, k, v, slopes, positions, padding_mask, seed, out, lse = res
+    if use_pallas:
+        dq, dk, dv, dsl = _run_pallas_backward(
+            q, k, v, g, out, lse, slopes, positions, padding_mask,
+            has_sentinel, dropout_rate, seed,
+        )
+        return dq, dk, dv, dsl, None, None, None
     _, vjp = jax.vjp(
         lambda q_, k_, v_, s_: _reference_attention(
-            q_, k_, v_, s_, positions, padding_mask
+            q_, k_, v_, s_, positions, padding_mask, dropout_rate, seed
         ),
         q, k, v, slopes,
     )
     dq, dk, dv, ds = vjp(g)
-    return dq, dk, dv, ds, None, None
+    return dq, dk, dv, ds, None, None, None
 
 
 alibi_flash_attention.defvjp(_fwd, _bwd)
@@ -279,10 +668,12 @@ def _pallas_forward_packed(
     block_q: int = 1024,
     block_k: int = 2048,
     has_sentinel: bool = True,
-) -> jnp.ndarray:
+    dropout_rate: float = 0.0,
+    seed: Optional[jnp.ndarray] = None,
+):
     """Packed-qkv kernel entry: the q/k/v blocks are sliced out of the single
     (3, B, H, T, D) projection output by BlockSpec index maps — no unpack
-    copy, one pad instead of three."""
+    copy, one pad instead of three. Returns (out, lse)."""
     _, b, h, t, d = qkv.shape
     dtype = qkv.dtype
     block_q = min(block_q, _ceil_to(t, 128))
@@ -307,17 +698,22 @@ def _pallas_forward_packed(
     n_k = t_pad // block_k
     mask_needed = padding_mask is not None or t_pad != t
     slope_arr = slopes.astype(jnp.float32).reshape(h, 1)
+    seed_arr = (
+        jnp.zeros((1,), jnp.int32) if seed is None else seed.reshape(1).astype(jnp.int32)
+    )
     interpret = jax.default_backend() != "tpu"
 
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(
             _kernel,
-            sm_scale=d**-0.5, n_k=n_k, block_q=block_q, block_k=block_k,
-            has_sentinel=has_sentinel, has_mask=mask_needed,
+            sm_scale=d**-0.5, n_heads=h, n_k=n_k, block_q=block_q,
+            block_k=block_k, has_sentinel=has_sentinel, has_mask=mask_needed,
+            dropout_rate=dropout_rate,
         ),
         grid=(b, h, n_q, n_k),
         in_specs=[
             pl.BlockSpec((h, 1), lambda bi, hi, qi, ki: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 1, block_q, d), lambda bi, hi, qi, ki: (0, bi, hi, qi, 0)),
             pl.BlockSpec((1, 1, 1, block_k, d), lambda bi, hi, qi, ki: (1, bi, hi, ki, 0)),
             pl.BlockSpec((1, 1, 1, block_k, d), lambda bi, hi, qi, ki: (2, bi, hi, ki, 0)),
@@ -325,10 +721,18 @@ def _pallas_forward_packed(
             pl.BlockSpec((1, 1, block_k), lambda bi, hi, qi, ki: (bi, 0, ki)),
             pl.BlockSpec((1, 1, block_k), lambda bi, hi, qi, ki: (bi, 0, ki)),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, h, t_pad, d), dtype),
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+            # (B*H, 1, T) layout: block (1, 1, bq) satisfies the TPU tiling
+            # rule (second-to-last block dim == full array dim)
+            pl.BlockSpec(
+                (1, 1, block_q), lambda bi, hi, qi, ki, n_h=h: (bi * n_h + hi, 0, qi)
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, t_pad, d), dtype),
+            jax.ShapeDtypeStruct((b * h, 1, t_pad), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -338,78 +742,91 @@ def _pallas_forward_packed(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(slope_arr, qkv, qkv, qkv, pos, pos, mask)
-    return out[:, :, :t]
+    )(slope_arr, seed_arr, qkv, qkv, qkv, pos, pos, mask)
+    return out[:, :, :t], lse.reshape(b, h, t_pad)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def alibi_flash_attention_packed(qkv, slopes, positions, padding_mask,
-                                 has_sentinel: bool = True):
-    """custom_vjp wrapper over the packed (3,B,H,T,D) kernel; backward is
-    the XLA reference attention on unpacked slices."""
-    return _pallas_forward_packed(
-        qkv, slopes, positions, padding_mask, has_sentinel=has_sentinel
+                                 has_sentinel: bool = True,
+                                 dropout_rate: float = 0.0, seed=None):
+    """custom_vjp wrapper over the packed (3,B,H,T,D) kernel; backward runs
+    the Pallas flash backward kernels on the unpacked slices."""
+    out, _ = _pallas_forward_packed(
+        qkv, slopes, positions, padding_mask,
+        has_sentinel=has_sentinel, dropout_rate=dropout_rate, seed=seed,
     )
+    return out
 
 
-def _fwd_packed(qkv, slopes, positions, padding_mask, has_sentinel):
-    out = alibi_flash_attention_packed(
-        qkv, slopes, positions, padding_mask, has_sentinel
+def _fwd_packed(qkv, slopes, positions, padding_mask, has_sentinel,
+                dropout_rate, seed):
+    out, lse = _pallas_forward_packed(
+        qkv, slopes, positions, padding_mask,
+        has_sentinel=has_sentinel, dropout_rate=dropout_rate, seed=seed,
     )
-    return out, (qkv, slopes, positions, padding_mask)
+    return out, (qkv, slopes, positions, padding_mask, seed, out, lse)
 
 
-def _bwd_packed(has_sentinel, res, g):
-    qkv, slopes, positions, padding_mask = res
-
-    def ref(qkv_, s_):
-        q_, k_, v_ = qkv_[0], qkv_[1], qkv_[2]
-        out = _reference_attention(
-            jnp.swapaxes(q_, 1, 2), jnp.swapaxes(k_, 1, 2), jnp.swapaxes(v_, 1, 2),
-            s_, positions, padding_mask,
-        )
-        return jnp.swapaxes(out, 1, 2)
-
-    _, vjp = jax.vjp(ref, qkv, slopes)
-    dqkv, ds = vjp(g)
-    return dqkv, ds, None, None
+def _bwd_packed(has_sentinel, dropout_rate, res, g):
+    qkv, slopes, positions, padding_mask, seed, out, lse = res
+    t_pad = lse.shape[-1]
+    bq, bk = _backward_blocks(t_pad)
+    t = qkv.shape[3]
+    qh = _pad_bhtd(qkv[0], t_pad)
+    kh = _pad_bhtd(qkv[1], t_pad)
+    vh = _pad_bhtd(qkv[2], t_pad)
+    dq, dk, dv, dsl = _pallas_backward(
+        qh, kh, vh, _pad_bhtd(g, t_pad), _pad_bhtd(out, t_pad), lse,
+        slopes, positions, padding_mask,
+        t=t, block_q=bq, block_k=bk,
+        has_sentinel=has_sentinel, dropout_rate=dropout_rate, seed=seed,
+    )
+    dqkv = jnp.stack([dq, dk, dv], axis=0).astype(qkv.dtype)
+    return dqkv, dsl.astype(slopes.dtype), None, None, None
 
 
 alibi_flash_attention_packed.defvjp(_fwd_packed, _bwd_packed)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
 def alibi_flash_attention_bhtd(q, k, v, slopes, positions, padding_mask,
-                               has_sentinel: bool = True):
+                               has_sentinel: bool = True,
+                               dropout_rate: float = 0.0, seed=None):
     """(B, H, T, D)-layout variant: lets callers einsum qkv projections
     directly into the kernel's native layout, skipping the per-layer
     slice/transpose copies of the BTHD interface."""
-    return _pallas_forward(
+    out, _ = _pallas_forward(
         q, k, v, slopes, positions, padding_mask,
         has_sentinel=has_sentinel, bhtd_layout=True,
+        dropout_rate=dropout_rate, seed=seed,
     )
+    return out
 
 
-def _fwd_bhtd(q, k, v, slopes, positions, padding_mask, has_sentinel):
-    out = alibi_flash_attention_bhtd(
-        q, k, v, slopes, positions, padding_mask, has_sentinel
+def _fwd_bhtd(q, k, v, slopes, positions, padding_mask, has_sentinel,
+              dropout_rate, seed):
+    out, lse = _pallas_forward(
+        q, k, v, slopes, positions, padding_mask,
+        has_sentinel=has_sentinel, bhtd_layout=True,
+        dropout_rate=dropout_rate, seed=seed,
     )
-    return out, (q, k, v, slopes, positions, padding_mask)
+    return out, (q, k, v, slopes, positions, padding_mask, seed, out, lse)
 
 
-def _bwd_bhtd(has_sentinel, res, g):
-    q, k, v, slopes, positions, padding_mask = res
-
-    def ref(q_, k_, v_, s_):
-        out = _reference_attention(
-            jnp.swapaxes(q_, 1, 2), jnp.swapaxes(k_, 1, 2), jnp.swapaxes(v_, 1, 2),
-            s_, positions, padding_mask,
-        )
-        return jnp.swapaxes(out, 1, 2)
-
-    _, vjp = jax.vjp(ref, q, k, v, slopes)
-    dq, dk, dv, ds = vjp(g)
-    return dq, dk, dv, ds, None, None
+def _bwd_bhtd(has_sentinel, dropout_rate, res, g):
+    q, k, v, slopes, positions, padding_mask, seed, out, lse = res
+    t_pad = lse.shape[-1]
+    bq, bk = _backward_blocks(t_pad)
+    t = q.shape[2]
+    dq, dk, dv, dsl = _pallas_backward(
+        _pad_bhtd(q, t_pad), _pad_bhtd(k, t_pad), _pad_bhtd(v, t_pad),
+        _pad_bhtd(g, t_pad), _pad_bhtd(out, t_pad), lse,
+        slopes, positions, padding_mask,
+        t=t, block_q=bq, block_k=bk,
+        has_sentinel=has_sentinel, dropout_rate=dropout_rate, seed=seed,
+    )
+    return dq, dk, dv, dsl.astype(slopes.dtype), None, None, None
 
 
 alibi_flash_attention_bhtd.defvjp(_fwd_bhtd, _bwd_bhtd)

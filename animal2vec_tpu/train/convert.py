@@ -61,24 +61,34 @@ class _TolerantUnpickler(pickle.Unpickler):
             return _Stub
 
 
+class _TolerantPickleModule:
+    """Duck-typed pickle module for ``torch.load(pickle_module=...)`` (public
+    API — replaces the former private ``torch.serialization._load`` fallback):
+    real fairseq checkpoints embed omegaconf/fairseq dataclasses in their
+    'cfg'/'args' entries which are unimportable here; unknown classes load as
+    inert stubs while every tensor comes through intact."""
+
+    Unpickler = _TolerantUnpickler
+    load = staticmethod(pickle.load)
+    loads = staticmethod(pickle.loads)
+    dump = staticmethod(pickle.dump)
+    dumps = staticmethod(pickle.dumps)
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, Any]:
     """torch.load with tolerance for missing fairseq/omegaconf classes."""
     import torch
 
     try:
         return torch.load(path, map_location="cpu", weights_only=False)
-    except (ImportError, AttributeError, ModuleNotFoundError):
+    except (ImportError, AttributeError, ModuleNotFoundError, pickle.UnpicklingError):
         pass
-    with open(path, "rb") as f:
-        import torch.serialization as ts
-
-        return ts._load(  # noqa: SLF001 - torch's zipfile loader with our unpickler
-            ts._open_zipfile_reader(f),
-            map_location="cpu",
-            pickle_module=pickle,
-            pickle_load_args={},
-            UnpicklerClass=_TolerantUnpickler,
-        )
+    return torch.load(
+        path,
+        map_location="cpu",
+        pickle_module=_TolerantPickleModule,
+        weights_only=False,
+    )
 
 
 def state_dict_to_numpy(sd: Dict[str, Any]) -> Dict[str, np.ndarray]:

@@ -147,3 +147,93 @@ class TestRoundTrip:
         fe = tu.flatten_dict(ema)
         assert ("blocks", "block", "attn", "qkv", "kernel") in fe
         assert not any(p[0] == "audio_encoder" and p[1] == "local_encoder" for p in fe)
+
+
+class TestTolerantUnpickler:
+    """Real fairseq .pt files pickle omegaconf/fairseq objects in their
+    cfg/args entries. Build a checkpoint whose cfg classes are unimportable
+    at load time and check every tensor still comes through (VERDICT r1 #10:
+    the tolerant path was previously only exercised by clean torch.save)."""
+
+    def _fake_fairseq_ckpt(self, tmp_path, sd):
+        import sys
+        import types
+
+        torch = pytest.importorskip("torch")
+        mod = types.ModuleType("fake_omegaconf")
+
+        class DictConfig:
+            def __init__(self, content):
+                self._content = content
+
+            def __reduce__(self):
+                # omegaconf-style custom reduce with state dict
+                return (DictConfig, (None,), {"_content": self._content})
+
+            def __setstate__(self, state):
+                self.__dict__.update(state)
+
+        class FairseqDataclass:
+            def __init__(self, **kw):
+                self.__dict__.update(kw)
+
+        DictConfig.__module__ = "fake_omegaconf"
+        DictConfig.__qualname__ = "DictConfig"
+        FairseqDataclass.__module__ = "fake_omegaconf"
+        FairseqDataclass.__qualname__ = "FairseqDataclass"
+        mod.DictConfig = DictConfig
+        mod.FairseqDataclass = FairseqDataclass
+        sys.modules["fake_omegaconf"] = mod
+        try:
+            ckpt = {
+                "args": None,
+                "cfg": DictConfig(
+                    {
+                        "model": FairseqDataclass(depth=3, embed_dim=32),
+                        "task": DictConfig({"_name": "audio_ccas"}),
+                    }
+                ),
+                "model": {k: torch.tensor(v) for k, v in sd.items()},
+                "extra_state": {"epoch": 7, "metrics": [FairseqDataclass(x=1)]},
+                "optimizer_history": [
+                    {"criterion_name": "ExpandedModelCriterion",
+                     "state": FairseqDataclass(step=100)}
+                ],
+            }
+            pt = str(tmp_path / "fairseq_like.pt")
+            torch.save(ckpt, pt)
+        finally:
+            del sys.modules["fake_omegaconf"]
+        return pt
+
+    def test_tensors_survive_unimportable_cfg(self, pretrain_params, tmp_path):
+        from animal2vec_tpu.train.convert import (
+            load_torch_checkpoint, state_dict_to_numpy,
+        )
+
+        cfg_m, params = pretrain_params
+        sd = export_pretrain(params, cfg_m)
+        pt = self._fake_fairseq_ckpt(tmp_path, sd)
+
+        ckpt = load_torch_checkpoint(pt)  # must hit the tolerant path
+        assert ckpt["extra_state"]["epoch"] == 7
+        got = state_dict_to_numpy(ckpt["model"])
+        assert set(got) == set(sd)
+        for k in sd:
+            np.testing.assert_array_equal(got[k], np.asarray(sd[k]), err_msg=k)
+
+    def test_tolerant_convert_roundtrip(self, pretrain_params, tmp_path):
+        from animal2vec_tpu.train.convert import (
+            convert_pretrain, load_torch_checkpoint, state_dict_to_numpy,
+        )
+
+        cfg_m, params = pretrain_params
+        sd = export_pretrain(params, cfg_m)
+        pt = self._fake_fairseq_ckpt(tmp_path, sd)
+        ckpt = load_torch_checkpoint(pt)
+        back, _ = convert_pretrain(state_dict_to_numpy(ckpt["model"]), cfg_m)
+        orig = tu.flatten_dict(jax.tree_util.tree_map(np.asarray, params))
+        got = tu.flatten_dict(back)
+        assert set(orig) == set(got)
+        for k in orig:
+            np.testing.assert_array_equal(orig[k], got[k], err_msg=str(k))
