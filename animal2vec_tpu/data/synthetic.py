@@ -22,7 +22,7 @@ DEFAULT_LABELS = [
 def generate(
     root: str,
     n_clips: int = 8,
-    clip_seconds: float = 10.0,
+    clip_seconds=10.0,  # float seconds, or (lo, hi) for variable lengths
     sample_rate: int = 8_000,
     labels: Sequence[str] = DEFAULT_LABELS,
     events_per_clip: int = 3,
@@ -32,17 +32,25 @@ def generate(
 ) -> str:
     rng = np.random.default_rng(seed)
     n_classes = len(labels) - 1  # last is 'focal'
-    wav_dir = os.path.join(root, "wav", "08000Hz")
-    lbl_dir = os.path.join(root, "lbl", "08000Hz")
+    rate_dir = f"{sample_rate:05d}Hz"
+    wav_dir = os.path.join(root, "wav", rate_dir)
+    lbl_dir = os.path.join(root, "lbl", rate_dir)
     os.makedirs(wav_dir, exist_ok=True)
     os.makedirs(lbl_dir, exist_ok=True)
-    t_len = int(clip_seconds * sample_rate)
     entries = []
     for i in range(n_clips):
+        # clip_seconds may be a (lo, hi) range -> variable-length clips
+        # (NIPS4Bplus-style material; exercises the pad/crop + padding-mask
+        # path instead of MeerKAT's uniform 10-s segments)
+        if isinstance(clip_seconds, (tuple, list)):
+            secs = float(rng.uniform(*clip_seconds))
+        else:
+            secs = float(clip_seconds)
+        t_len = int(secs * sample_rate)
         wav = 0.02 * rng.standard_normal(t_len).astype(np.float32)
         starts, ends, cats, focs = [], [], [], []
         for _ in range(events_per_clip):
-            dur = int(rng.uniform(0.05, 0.5) * sample_rate)
+            dur = int(rng.uniform(0.05, min(0.5, secs / 2)) * sample_rate)
             s = int(rng.integers(0, t_len - dur))
             f0 = rng.uniform(200, 3000)
             tt = np.arange(dur) / sample_rate
@@ -65,7 +73,7 @@ def generate(
             lbl_cat=cats,
             foc=focs,
         )
-        entries.append((os.path.join("wav", "08000Hz", name + ".wav"), t_len))
+        entries.append((os.path.join("wav", rate_dir, name + ".wav"), t_len))
 
     if splits:
         write_manifest(os.path.join(root, "pretrain.tsv"), root, entries)

@@ -62,6 +62,7 @@ def _block_cfg(cfg: ModelConfig) -> BlockConfig:
         layer_norm_first=cfg.layer_norm_first,
         ffn_targets=not cfg.end_of_block_targets,
         attn_impl=cfg.attn_impl,
+        matmul_impl=cfg.matmul_impl,
     )
 
 

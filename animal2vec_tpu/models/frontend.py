@@ -23,8 +23,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 import numpy as np
 
-from animal2vec_tpu.models.modules import Fp32LayerNorm
-from animal2vec_tpu.ops.conv_mm import conv1d_mm
+from animal2vec_tpu.models.modules import Fp32LayerNorm, conv1d_same
 from animal2vec_tpu.ops.sinc import mel_init_filterbank, sinc_filters, full_hamming_window
 from animal2vec_tpu.ops.conv_arith import same_pad_1d, strided_pad_1d
 
@@ -259,10 +258,7 @@ class ConvFeatureExtractor(nn.Module):
                     if self.conv_bias
                     else None
                 )
-                # matmul-decomposed conv (ops/conv_mm.py): XLA's TPU conv
-                # lowering runs these narrow-kernel layers at 20-60 TFLOP/s,
-                # the stride-grouped matmul form at MXU rates (docs/PERF.md)
-                x = conv1d_mm(
+                x = conv1d_same(
                     x,
                     kern.astype(self.dtype),
                     bias.astype(self.dtype) if bias is not None else None,

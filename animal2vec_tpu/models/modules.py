@@ -97,6 +97,27 @@ def drop_path(
     return jnp.where(mask, x * inv_keep, jnp.zeros_like(x))
 
 
+class Int8Dense(nn.Module):
+    """Dense layer routed through quantized_matmul; parameter tree identical
+    to nn.Dense ("kernel"/"bias") so the same checkpoint serves both
+    numerics."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", default_kernel_init, (x.shape[-1], self.features), jnp.float32
+        )
+        y = quantized_matmul(x, kernel)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + bias.astype(y.dtype)
+        return y
+
+
 class Mlp(nn.Module):
     """2-layer GELU MLP (timm Mlp, consumed at modules.py:312-317)."""
 
@@ -104,17 +125,25 @@ class Mlp(nn.Module):
     out_dim: int
     dropout: float = 0.0
     dtype: Any = jnp.float32
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        x = nn.Dense(self.hidden_dim, dtype=self.dtype, kernel_init=default_kernel_init, name="fc1")(x)
+        def dense(features, name):
+            if self.int8:
+                return Int8Dense(features, dtype=self.dtype, name=name)
+            return nn.Dense(
+                features, dtype=self.dtype, kernel_init=default_kernel_init, name=name
+            )
+
+        x = dense(self.hidden_dim, "fc1")(x)
         x = nn.gelu(x, approximate=False)
         # barrier: without it XLA fuses the exact-erf GELU into fc2's operand
         # read and recomputes it per MXU tile pass (profiled 2.4x fc2
         # slowdown on v5e)
         x = jax.lax.optimization_barrier(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        x = nn.Dense(self.out_dim, dtype=self.dtype, kernel_init=default_kernel_init, name="fc2")(x)
+        x = dense(self.out_dim, "fc2")(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         return x
 
@@ -127,6 +156,7 @@ class QKVProj(nn.Module):
     features: int  # 3 * C
     use_bias: bool = True
     dtype: Any = jnp.float32
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x, heads: int, bhtd: bool = False):
@@ -145,7 +175,7 @@ class QKVProj(nn.Module):
             if bias is not None:
                 y = y + bias.astype(self.dtype).reshape(3, 1, heads, 1, e)
             return y  # packed (3, B, H, T, E) — consumed whole by the kernel
-        y = x @ kernel
+        y = quantized_matmul(x, kernel) if self.int8 else x @ kernel
         if bias is not None:
             y = y + bias.astype(self.dtype)
         b, t = x.shape[0], x.shape[1]
@@ -159,6 +189,7 @@ class OutProj(nn.Module):
 
     features: int
     dtype: Any = jnp.float32
+    int8: bool = False
 
     @nn.compact
     def __call__(self, out, bhtd: bool = False):
@@ -173,6 +204,8 @@ class OutProj(nn.Module):
         if bhtd:
             w = kernel.reshape(h, e, self.features)
             y = jnp.einsum("bhte,hed->btd", out, w)
+        elif self.int8:
+            y = quantized_matmul(out, kernel)
         else:
             y = out @ kernel
         return y + bias.astype(self.dtype)
@@ -191,6 +224,7 @@ class AltAttention(nn.Module):
     qkv_bias: bool = True
     dtype: Any = jnp.float32
     impl: str = "auto"  # "xla" | "flash" | "auto"
+    int8: bool = False  # serving-only int8 qkv/out projections
 
     @nn.compact
     def __call__(
@@ -205,9 +239,14 @@ class AltAttention(nn.Module):
         b, t, c = x.shape
         h = self.num_heads
         has_dropout = not deterministic and self.attn_drop > 0
-        fast = pallas_eligible(bias, t, has_dropout, self.impl)
-        qkv = QKVProj(3 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")
-        proj = OutProj(c, dtype=self.dtype, name="proj")
+        # int8 projections need the plain (B, T, 3C) matmul layout; the BTHD
+        # flash entry transposes internally, so the kernel path is kept
+        fast = pallas_eligible(bias, t, has_dropout, self.impl) and not self.int8
+        qkv = QKVProj(
+            3 * c, use_bias=self.qkv_bias, dtype=self.dtype, int8=self.int8,
+            name="qkv",
+        )
+        proj = OutProj(c, dtype=self.dtype, int8=self.int8, name="proj")
         if fast:
             from animal2vec_tpu.models.attention import dropout_seed
             from animal2vec_tpu.ops.pallas_attention import (
@@ -252,6 +291,7 @@ class BlockConfig:
     layer_norm_first: bool = False
     ffn_targets: bool = True
     attn_impl: str = "auto"
+    matmul_impl: str = "bf16"  # "bf16" | "int8" (serving-only weight+act quant)
 
 
 class AltBlock(nn.Module):
@@ -279,6 +319,7 @@ class AltBlock(nn.Module):
             proj_drop=c.encoder_dropout,
             dtype=self.dtype,
             impl=c.attn_impl,
+            int8=c.matmul_impl == "int8",
             name="attn",
         )
         mlp = Mlp(
@@ -286,6 +327,7 @@ class AltBlock(nn.Module):
             out_dim=c.dim,
             dropout=c.activation_dropout,
             dtype=self.dtype,
+            int8=c.matmul_impl == "int8",
             name="mlp",
         )
 

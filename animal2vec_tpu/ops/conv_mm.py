@@ -14,8 +14,11 @@ Wa = W[a*s : (a+1)*s] flattened to (s*C_in, C_out), zero-padded past k.
 Every term is then a dense (T_out, s*C_in) x (s*C_in, C_out) matmul — MXU
 shapes instead of implicit im2col.
 
-Used by the conv feature extractor for ungrouped layers
-(nn/utils.py:1043-1163 semantics; padding conventions per ops/conv_arith).
+Measured verdict (v5e, r2): wiring this into the conv feature extractor
+made end-to-end inference SLOWER (43.1 vs 46.9 clips/s/chip at batch 32) —
+XLA's conv lowering beats the decomposition once the stride-grouped reshape
+relayouts are paid. Kept as a tested op for revisits on other topologies;
+NOT used by the frontend (docs/PERF.md).
 """
 
 from __future__ import annotations

@@ -18,6 +18,10 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import numpy as np
 
+import logging
+
+logger = logging.getLogger("animal2vec_tpu")
+
 try:
     import orbax.checkpoint as ocp
 
@@ -166,31 +170,52 @@ def _to_savable(state: Any) -> Any:
 
 def _restore_into(template: Any, loaded: Any) -> Any:
     """Rebuild the template's pytree types (flax struct dataclasses, optax
-    NamedTuple states, tuples) from orbax's dict/tuple-of-arrays restore."""
-    return _align(template, loaded)
+    NamedTuple states, tuples) from orbax's dict/tuple-of-arrays restore.
+    Leaves present in the template but missing from the checkpoint keep the
+    template's (freshly-initialized) value — and are loudly logged, because a
+    silent pad here means the run resumes with different optimizer state or
+    hyperparameters than it was saved with."""
+    missing: list = []
+    out = _align(template, loaded, "", missing)
+    if missing:
+        logger.warning(
+            "checkpoint restore: %d leaves missing from the checkpoint kept "
+            "template values (config/optimizer mismatch?): %s%s",
+            len(missing), ", ".join(missing[:8]),
+            ", ..." if len(missing) > 8 else "",
+        )
+    return out
 
 
-def _align(tpl: Any, val: Any) -> Any:
+def _align(tpl: Any, val: Any, path: str = "", missing: Optional[list] = None) -> Any:
     if hasattr(tpl, "__dataclass_fields__"):  # flax.struct dataclass
         kwargs = {}
         for f in tpl.__dataclass_fields__:
             if f == "tx":
                 continue
             sub = _get_child(val, f)
-            kwargs[f] = _align(getattr(tpl, f), sub)
+            kwargs[f] = _align(getattr(tpl, f), sub, f"{path}/{f}", missing)
         return tpl.replace(**kwargs)
     if isinstance(tpl, dict):
-        return {k: _align(v, _get_child(val, k)) for k, v in tpl.items()}
+        return {
+            k: _align(v, _get_child(val, k), f"{path}/{k}", missing)
+            for k, v in tpl.items()
+        }
     if isinstance(tpl, tuple) and hasattr(tpl, "_fields"):  # NamedTuple
         vals = [
-            _align(getattr(tpl, f), _get_child(val, f, i))
+            _align(getattr(tpl, f), _get_child(val, f, i), f"{path}/{f}", missing)
             for i, f in enumerate(tpl._fields)
         ]
         return type(tpl)(*vals)
     if isinstance(tpl, (tuple, list)):
-        vals = [_align(t, _get_child(val, None, i)) for i, t in enumerate(tpl)]
+        vals = [
+            _align(t, _get_child(val, None, i), f"{path}/{i}", missing)
+            for i, t in enumerate(tpl)
+        ]
         return type(tpl)(vals) if isinstance(tpl, list) else tuple(vals)
     if val is None:
+        if missing is not None and tpl is not None:
+            missing.append(path or "/")
         return tpl
     return val
 

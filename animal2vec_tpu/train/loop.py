@@ -192,6 +192,13 @@ def run_pretrain(cfg: Config, max_steps: Optional[int] = None) -> Dict[str, floa
     eval_fn = jax.jit(make_pretrain_eval_step(model, cfg))
     accum = max(1, cfg.optimization.update_freq)
     loader = _build_loader(cfg, cfg.dataset.train_subset, True, accum)
+    if len(loader) == 0:
+        raise ValueError(
+            f"train split {cfg.dataset.train_subset!r} yields 0 batches: "
+            f"{len(loader.dataset)} usable items < one batch group of "
+            f"{loader.batch_size * loader.accum} (batch_size x update_freq); "
+            "lower dataset.batch_size/max_tokens or use a larger subset"
+        )
     loader.load_state_dict(loader_state)
     sink = TensorboardSink(cfg.common.tensorboard_logdir)
     acc = MetricsAccumulator()
@@ -298,6 +305,13 @@ def run_finetune(
     eval_fn = jax.jit(make_finetune_eval_step(model, cfg))
     accum = max(1, cfg.optimization.update_freq)
     loader = _build_loader(cfg, cfg.dataset.train_subset, True, accum)
+    if len(loader) == 0:
+        raise ValueError(
+            f"train split {cfg.dataset.train_subset!r} yields 0 batches: "
+            f"{len(loader.dataset)} usable items < one batch group of "
+            f"{loader.batch_size * loader.accum} (batch_size x update_freq); "
+            "lower dataset.batch_size/max_tokens or use a larger subset"
+        )
     loader.load_state_dict(loader_state)
     sink = TensorboardSink(cfg.common.tensorboard_logdir)
     acc = MetricsAccumulator()

@@ -30,9 +30,14 @@ def main():
     from animal2vec_tpu.train.build import build_finetune_model
 
     here = os.path.dirname(os.path.abspath(__file__))
+    overrides = ["finetune.w2v_path=", "common.compute_dtype=bfloat16"]
+    if os.environ.get("A2V_BENCH_INT8", "") == "1":
+        # serving int8 trunk matmuls (config flag; see models/modules.py
+        # quantized_matmul for the numeric contract + accuracy tests)
+        overrides.append("model.matmul_impl=int8")
     cfg = load_config(
         os.path.join(here, "animal2vec_tpu/configs/finetune_100.yaml"),
-        overrides=["finetune.w2v_path=", "common.compute_dtype=bfloat16"],
+        overrides=overrides,
     )
     model = build_finetune_model(cfg)
 
@@ -157,8 +162,77 @@ def main_pretrain():
     )
 
 
+def main_finetune():
+    """Finetune train-step throughput: full T=2048 sequences, masking-as-
+    regularization, attention_dropout=0.2 (the reference finetune recipe) —
+    the path that exercises the Pallas flash backward kernels."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from animal2vec_tpu.config import load_config
+    from animal2vec_tpu.train.build import init_finetune
+    from animal2vec_tpu.train.finetune_step import make_finetune_train_step
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    cfg = load_config(
+        os.path.join(here, "animal2vec_tpu/configs/finetune_100.yaml"),
+        overrides=[
+            "finetune.w2v_path=",
+            "common.compute_dtype=bfloat16",
+            "optimization.update_freq=1",
+        ],
+    )
+    batch = int(os.environ.get("A2V_BENCH_BATCH", "6"))
+    wav_len = 80_000
+    model, state = init_finetune(
+        cfg, jax.random.PRNGKey(0), example_wav_len=wav_len, example_batch=1
+    )
+    step_fn = jax.jit(make_finetune_train_step(model, cfg), donate_argnums=(0,))
+    rng_np = np.random.default_rng(0)
+    from animal2vec_tpu.ops.conv_arith import label_frame_length
+
+    t_feat = label_frame_length(wav_len, cfg.task.conv_layers())
+    n_cls = len(cfg.task.labels())
+
+    def fresh():
+        return {
+            "source": jnp.asarray(
+                rng_np.normal(size=(1, batch, wav_len)).astype(np.float32)
+            ),
+            "target": jnp.asarray(
+                (rng_np.random((1, batch, t_feat, n_cls)) < 0.1).astype(np.int64)
+            ),
+        }
+
+    state, m = step_fn(state, fresh(), jax.random.PRNGKey(0))
+    float(m["loss"])
+    iters = int(os.environ.get("A2V_BENCH_ITERS", "5"))
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, m = step_fn(state, fresh(), jax.random.PRNGKey(i + 1))
+        float(m["loss"])
+    dt = time.perf_counter() - t0
+    clips_per_sec = batch * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "a2v-large finetune train-step throughput",
+                "value": round(clips_per_sec, 2),
+                "unit": "10s-clips/sec/chip",
+                # reference: 1920 s audio/update on 4 GPUs (finetune_mixup_100
+                # max_tokens*4*update_freq 9) => ~48 clips/s/gpu at 1 update/s
+                "vs_baseline": round(clips_per_sec / 48.0, 3),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    if os.environ.get("A2V_BENCH_MODE", "infer") == "pretrain":
+    mode = os.environ.get("A2V_BENCH_MODE", "infer")
+    if mode == "pretrain":
         main_pretrain()
+    elif mode == "finetune":
+        main_finetune()
     else:
         main()

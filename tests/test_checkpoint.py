@@ -73,3 +73,34 @@ class TestCheckpointManager:
         mgr.wait()
         restored, _ = mgr.restore(step=1, template=make_state())
         assert int(restored.step) == 1
+
+
+def test_restore_warns_on_missing_leaves(tmp_path, caplog):
+    """A restore whose checkpoint lacks leaves the template has (config or
+    optimizer change) must log loudly instead of silently padding."""
+    import logging
+
+    import jax.numpy as jnp
+    import optax
+    from flax import struct
+
+    from animal2vec_tpu.train.checkpoint import CheckpointManager
+
+    @struct.dataclass
+    class S:
+        step: jnp.ndarray
+        params: dict
+        tx: object = struct.field(pytree_node=False, default=None)
+
+    old = S(step=jnp.asarray(3), params={"a": jnp.ones(2)})
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    mgr.save(3, old)
+    mgr.wait()
+
+    template = S(step=jnp.asarray(0), params={"a": jnp.zeros(2), "b": jnp.full(3, 7.0)})
+    with caplog.at_level(logging.WARNING, logger="animal2vec_tpu"):
+        state, _ = mgr.restore(template=template)
+    assert any("missing from the checkpoint" in r.message for r in caplog.records)
+    np.testing.assert_array_equal(np.asarray(state.params["a"]), np.ones(2))
+    np.testing.assert_array_equal(np.asarray(state.params["b"]), np.full(3, 7.0))
+    assert int(state.step) == 3

@@ -241,3 +241,128 @@ class TestPatienceAndGather:
         np.testing.assert_array_equal(out, x)
         empty = _allgather_uneven(None, np.float32)
         assert empty.shape[0] == 0
+
+
+class TestNips4BplusTransfer:
+    """NIPS4Bplus-style transfer (BASELINE.json configs[4]): a second sample
+    rate, offline resampling through prepare_data_cli, variable-length clips
+    (pad/crop + padding-mask path), few-shot manifest subset, no focal class.
+    Fixed-shape note: variable-length material is padded/cropped to
+    task.max_sample_size — one compiled program instead of the reference's
+    length-bucketed dynamic batches (data/dataset.py module docstring)."""
+
+    SR = 16_000
+    CONV = "[(9, 7, 1)] + [(16, 4, 2)] + [(16, 3, 2)] + [(16, 2, 2)]"  # /16
+    BIRDS = "['chiffchaff', 'wren', 'robin']"
+
+    def _prepare(self, tmp_path):
+        import csv
+
+        from animal2vec_tpu.data.wavio import write_wav
+        from animal2vec_tpu.data.synthetic import generate
+        from animal2vec_tpu.tools import manifest_cli, prepare_data_cli
+
+        rng = np.random.default_rng(5)
+        raw = tmp_path / "raw"
+        raw.mkdir()
+        # two long 22.05 kHz field recordings -> resample + segment to 0.5 s
+        rows = []
+        for i, secs in enumerate((1.6, 1.1)):
+            sr0 = 22_050
+            n = int(secs * sr0)
+            wav = 0.05 * rng.standard_normal(n).astype(np.float32)
+            name = f"rec_{i}.wav"
+            write_wav(str(raw / name), wav, sr0)
+            rows.append({"AudioFile": name, "StartRelative": 0.1,
+                         "EndRelative": 0.35, "Name": "wren", "Focal": ""})
+        labels_csv = str(tmp_path / "labels.csv")
+        with open(labels_csv, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(rows[0]))
+            w.writeheader()
+            w.writerows(rows)
+
+        prep = str(tmp_path / "ds")
+        prepare_data_cli.main([
+            "--input-folder", str(raw), "--output-folder", prep,
+            "--labels", labels_csv, "--unique-labels", self.BIRDS,
+            "--segment-length", "0.5", "--resample-rate", str(self.SR),
+            "--workers", "1",
+        ])
+        # prepare nests its output under <base_name>_<len>s (reference layout)
+        root = os.path.join(prep, os.listdir(prep)[0])
+        segs = os.listdir(os.path.join(root, "wav", f"{self.SR:05d}Hz"))
+        assert len(segs) == 5  # 1.6s -> 3 + 1.1s -> 2 segments of 0.5 s
+
+        # variable-length clips straight at 16 kHz (0.2-0.6 s): shorter than
+        # max_sample_size -> right-padded with a padding mask
+        generate(
+            root, n_clips=9, clip_seconds=(0.2, 0.6), sample_rate=self.SR,
+            labels=["chiffchaff", "wren", "robin"], events_per_clip=1,
+            seed=9, splits=False,
+        )
+
+        dest = str(tmp_path / "manifests")
+        manifest_cli.main([
+            "--root", root, "--dest", dest, "--valid-percent", "0.3",
+            "--n-split", "1", "--few-shot",
+        ])
+        return dest
+
+    def test_few_shot_finetune_at_16khz(self, tmp_path):
+        from animal2vec_tpu.config import DistributedConfig
+        from animal2vec_tpu.train.loop import run_finetune
+
+        dest = self._prepare(tmp_path)
+        cfg = Config()
+        cfg.distributed = DistributedConfig(data_parallel=1, model_parallel=1)
+        cfg.task = TaskConfig(
+            data=dest,
+            unique_labels=self.BIRDS,
+            conv_feature_layers=self.CONV,
+            with_labels=True,
+            sample_rate=self.SR,
+            max_sample_size=8_000,  # 0.5 s at 16 kHz
+            min_sample_size=100,
+            do_focal_prediction=False,
+        )
+        cfg.dataset = DatasetConfig(
+            batch_size=2, max_tokens=None, num_workers=1,
+            train_subset="train_0_few_3",  # few-shot subset (50%)
+            valid_subset="valid_0",
+            validate_interval_updates=3, validate_after_updates=0,
+        )
+        cfg.model = tiny_model_cfg()
+        cfg.model.unique_labels = self.BIRDS
+        cfg.model.conv_feature_layers = self.CONV
+        cfg.model.modalities.audio.conv_feature_layers = self.CONV
+        cfg.model.modalities.audio.sample_rate = self.SR
+        cfg.criterion = CriterionConfig(
+            use_focal_loss=True, metric_threshold=0.2, report_accuracy=True,
+        )
+        cfg.optimization = OptimizationConfig(
+            lr=1e-3, max_update=3, warmup_updates=1, update_freq=1,
+            weight_decay=0.0, adam_eps=1e-8,
+        )
+        cfg.checkpoint = CheckpointConfig(
+            save_dir=str(tmp_path / "ckpt"), save_interval_updates=0, keep_last=1,
+        )
+        cfg.common.log_interval = 1
+        cfg.task.verbose_tensorboard_logging = True
+        cfg.finetune = FinetuneModelConfig(
+            apply_mask=True, mask_prob=0.5, mask_length=2,
+            average_top_k_layers=2,
+            mixup=MixupConfig(source_mixup=0.5, mixup_prob=1.0, target_mixup=True),
+        )
+        cfg = resolve(cfg)
+        out = run_finetune(cfg, max_steps=3)
+        assert out and any("f1" in k for k in out), out.keys()
+
+    def test_empty_train_split_raises(self, data_root, tmp_path):
+        """A train subset smaller than one batch group must raise, not spin
+        the epoch loop forever (regression: few-shot subsets)."""
+        from animal2vec_tpu.train.loop import run_finetune
+
+        cfg = e2e_config(data_root, str(tmp_path / "ck"))
+        cfg.dataset.batch_size = 64  # > dataset size -> zero full groups
+        with pytest.raises(ValueError, match="0 batches"):
+            run_finetune(cfg, max_steps=1)

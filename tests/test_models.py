@@ -295,3 +295,44 @@ class TestFinetuneModel:
 
         out = fwd(params, src)
         assert out.shape == (1, 200, 4)
+
+
+class TestInt8Serving:
+    """Serving-only int8 trunk matmuls (model.matmul_impl=int8): same param
+    tree as bf16, bounded quantization error."""
+
+    def test_quantized_matmul_error(self, rng):
+        from animal2vec_tpu.models.modules import quantized_matmul
+
+        x = jnp.asarray(rng.normal(size=(4, 64, 96)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(96, 128)).astype(np.float32))
+        exact = np.asarray(x @ w)
+        got = np.asarray(quantized_matmul(x, w))
+        rel = np.linalg.norm(got - exact) / np.linalg.norm(exact)
+        assert rel < 0.02, rel  # int8 per-token/per-channel: ~1% RMS
+
+    def test_int8_model_logits_close_and_same_tree(self, rng):
+        from animal2vec_tpu.models.finetune import FinetuneModel
+        from animal2vec_tpu.config import FinetuneModelConfig
+
+        enc_cfg = tiny_model_cfg()
+        ft_cfg = FinetuneModelConfig(unique_labels=LABELS, average_top_k_layers=2)
+        src = jnp.asarray(rng.normal(size=(2, 800)).astype(np.float32))
+
+        m_bf = FinetuneModel(cfg=ft_cfg, encoder_cfg=enc_cfg)
+        v = m_bf.init({"params": jax.random.PRNGKey(0)}, src)
+        base = np.asarray(m_bf.apply(v, src)["encoder_out"], np.float32)
+
+        import dataclasses as dc
+
+        enc8 = dc.replace(enc_cfg, matmul_impl="int8")
+        m_i8 = FinetuneModel(cfg=ft_cfg, encoder_cfg=enc8)
+        v8 = m_i8.init({"params": jax.random.PRNGKey(0)}, src)
+        # identical parameter trees: the same checkpoint serves both numerics
+        assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v8)
+        got = np.asarray(m_i8.apply(v, src)["encoder_out"], np.float32)
+        # documented error budget: quantization noise accumulated over the
+        # trunk stays well under the 0.175 decision threshold scale
+        assert np.max(np.abs(got - base)) < 0.05, np.max(np.abs(got - base))
+        rel = np.linalg.norm(got - base) / np.linalg.norm(base)
+        assert rel < 0.02, rel
