@@ -170,6 +170,15 @@ class QKVProj(nn.Module):
         kernel = kernel.astype(self.dtype)
         e = self.features // (3 * heads)
         if bhtd:
+            if self.int8:
+                # int8 runs the plain (B, T, 3C) matmul, then transposes into
+                # the kernel's packed layout (XLA fuses this into the dequant
+                # epilogue) — keeps flash attention + int8 composable
+                y = quantized_matmul(x, kernel)
+                if bias is not None:
+                    y = y + bias.astype(self.dtype)
+                b, t = x.shape[0], x.shape[1]
+                return jnp.transpose(y.reshape(b, t, 3, heads, e), (2, 0, 3, 1, 4))
             w = kernel.reshape(c_in, 3, heads, e)
             y = jnp.einsum("btd,dshe->sbhte", x, w)
             if bias is not None:
@@ -201,7 +210,11 @@ class OutProj(nn.Module):
         kernel = self.param("kernel", default_kernel_init, (c_in, self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
         kernel = kernel.astype(self.dtype)
-        if bhtd:
+        if bhtd and self.int8:
+            y = quantized_matmul(
+                jnp.transpose(out, (0, 2, 1, 3)).reshape(b, t, c_in), kernel
+            )
+        elif bhtd:
             w = kernel.reshape(h, e, self.features)
             y = jnp.einsum("bhte,hed->btd", out, w)
         elif self.int8:
@@ -239,9 +252,7 @@ class AltAttention(nn.Module):
         b, t, c = x.shape
         h = self.num_heads
         has_dropout = not deterministic and self.attn_drop > 0
-        # int8 projections need the plain (B, T, 3C) matmul layout; the BTHD
-        # flash entry transposes internally, so the kernel path is kept
-        fast = pallas_eligible(bias, t, has_dropout, self.impl) and not self.int8
+        fast = pallas_eligible(bias, t, has_dropout, self.impl)
         qkv = QKVProj(
             3 * c, use_bias=self.qkv_bias, dtype=self.dtype, int8=self.int8,
             name="qkv",

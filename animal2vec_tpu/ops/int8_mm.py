@@ -1,0 +1,146 @@
+"""Fused int8 dense matmul Pallas kernel for serving.
+
+The XLA-composed int8 path (quantize -> dot_general -> dequant as separate
+HBM ops, models/modules.py:quantized_matmul's fallback) loses its MXU-rate
+advantage to the extra activation passes: at T=2048, B=32 every matmul input
+is a 128 MB tensor, and the rowmax reduce + scale/round/clip/cast writes add
+three full HBM round trips per matmul — measured end-to-end LOSS vs bf16
+(41.4 vs 45.2 clips/s/chip).
+
+Measured verdict (v5e, r2, bench_int8_pallas.py): this fused kernel reaches
+164 TFLOP/s at the MLP chain shapes — the SAME rate as the XLA-composed
+quantize->dot->dequant chain (167), because XLA fuses the quant/dequant
+epilogues into the dots well enough on its own. The model therefore keeps
+the simpler XLA-composed path (models/modules.py:quantized_matmul); this
+kernel is retained as the measurement artifact and as the starting point
+for a future fp8/weight-streaming variant.
+
+The kernel performs the whole pipeline in VMEM, so HBM sees exactly one
+bf16 read of x, one int8 read of w, and one bf16 write of y:
+
+  grid (N/bn, M/bm), m innermost
+    step (ni, 0):   rowmax + scale + round x-tile into int8 scratch
+    every step:     int8 MXU dot (bn, C) x (C, bm) -> int32
+                    dequant f32 (row_scale x col_scale) + bias -> store bf16
+
+Weight quantization (per-output-channel symmetric) happens outside as plain
+XLA ops — it is loop-invariant, and serving paths pre-quantize the tree.
+
+Replaces the serving numerics of the reference's fp16 projections
+(/root/reference/nn/modalities/modules.py:312-317 Mlp, :368-410 attention
+projections) at ~1.5x the bf16 MXU rate (394 vs 197 TOPS nominal on v5e).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def quantize_weight(w: jnp.ndarray):
+    """Per-output-channel symmetric int8 quantization of a (C, M) kernel.
+    Returns (w_q int8 (C, M), w_scale f32 (M,)). Loop-invariant: XLA hoists
+    it out of scan/step loops, and serving can pre-quantize the tree."""
+    w32 = w.astype(jnp.float32)
+    s = jnp.max(jnp.abs(w32), axis=0) / 127.0  # (M,)
+    s = jnp.maximum(s, 1e-12)
+    q = jnp.round(w32 / s[None, :]).astype(jnp.int8)
+    return q, s
+
+
+def _kernel(
+    x_ref,       # VMEM (bn, C) x.dtype
+    w_ref,       # VMEM (C, bm) int8
+    ws_ref,      # VMEM (1, bm) f32
+    bias_ref,    # VMEM (1, bm) f32 (zeros when absent)
+    o_ref,       # VMEM (bn, bm) x.dtype
+    xq_scr,      # VMEM (bn, C) int8
+    xs_scr,      # VMEM (bn, 1) f32
+    *,
+    n_m: int,
+):
+    mi = pl.program_id(1)
+
+    @pl.when(mi == 0)
+    def _quant_x():
+        x = x_ref[...].astype(jnp.float32)
+        s = jnp.maximum(jnp.max(jnp.abs(x), axis=1, keepdims=True) / 127.0, 1e-12)
+        xs_scr[...] = s
+        xq_scr[...] = jnp.round(x / s).astype(jnp.int8)
+
+    acc = jax.lax.dot_general(
+        xq_scr[...], w_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (bn, bm) int32
+    y = acc.astype(jnp.float32) * xs_scr[...] * ws_ref[...]
+    y = y + bias_ref[...]
+    o_ref[...] = y.astype(o_ref.dtype)
+
+
+def int8_dense(
+    x: jnp.ndarray,         # (..., C) bf16/f32
+    w_q: jnp.ndarray,       # (C, M) int8
+    w_scale: jnp.ndarray,   # (M,) f32
+    bias: Optional[jnp.ndarray] = None,  # (M,) any float dtype
+    block_n: int = 256,
+    block_m: int = 512,
+) -> jnp.ndarray:
+    """Fused dynamic-per-row-quant int8 matmul: returns x @ dequant(w) with
+    int8 MXU arithmetic, (..., M) in x.dtype. Requires C % 128 == 0 and
+    M % 128 == 0 (the model trunk's shapes always satisfy this); callers
+    fall back to the XLA path otherwise."""
+    *lead, c = x.shape
+    m = w_q.shape[1]
+    assert w_q.shape[0] == c, (w_q.shape, c)
+    assert c % 128 == 0 and m % 128 == 0, (c, m)
+    n = 1
+    for d in lead:
+        n *= d
+    x2 = x.reshape(n, c)
+    block_m = min(block_m, m)
+    while m % block_m:
+        block_m //= 2
+    block_n = min(block_n, _ceil_to(n, 32))
+    n_pad = _ceil_to(n, block_n)
+    if n_pad != n:
+        x2 = jnp.pad(x2, ((0, n_pad - n), (0, 0)))
+
+    ws = w_scale.astype(jnp.float32).reshape(1, m)
+    b = (
+        jnp.zeros((1, m), jnp.float32)
+        if bias is None
+        else bias.astype(jnp.float32).reshape(1, m)
+    )
+    grid = (n_pad // block_n, m // block_m)
+    interpret = jax.default_backend() != "tpu"
+    out = pl.pallas_call(
+        functools.partial(_kernel, n_m=grid[1]),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_n, c), lambda ni, mi: (ni, 0)),
+            pl.BlockSpec((c, block_m), lambda ni, mi: (0, mi)),
+            pl.BlockSpec((1, block_m), lambda ni, mi: (0, mi)),
+            pl.BlockSpec((1, block_m), lambda ni, mi: (0, mi)),
+        ],
+        out_specs=pl.BlockSpec((block_n, block_m), lambda ni, mi: (ni, mi)),
+        out_shape=jax.ShapeDtypeStruct((n_pad, m), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_n, c), jnp.int8),
+            pltpu.VMEM((block_n, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x2, w_q, ws, b)
+    return out[:n].reshape(*lead, m)
