@@ -327,6 +327,10 @@ class ModelConfig:
     matmul_impl: str = "bf16"
     # rematerialize transformer blocks during training to save HBM
     remat: bool = True
+    # "mlp": recompute only the MLP sub-block in the backward (attention
+    # keeps its flash residuals; ~15-20% faster step); "block": recompute
+    # whole blocks (smallest memory footprint)
+    remat_scope: str = "mlp"
 
     # resolved cross-refs
     with_labels: bool = False

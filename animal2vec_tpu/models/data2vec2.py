@@ -37,6 +37,7 @@ from animal2vec_tpu.models.modules import (
     Decoder1d,
     Fp32LayerNorm,
     fp32_instance_norm,
+    top_k_tap_average,
 )
 from animal2vec_tpu.ops import alibi_bias_1d, alibi_bias_2d
 from animal2vec_tpu.ops.masking import (
@@ -63,6 +64,7 @@ def _block_cfg(cfg: ModelConfig) -> BlockConfig:
         ffn_targets=not cfg.end_of_block_targets,
         attn_impl=cfg.attn_impl,
         matmul_impl=cfg.matmul_impl,
+        remat_scope=cfg.remat_scope,
     )
 
 
@@ -167,12 +169,12 @@ class Data2VecMulti(nn.Module):
             ids_restore=jnp.argsort(jnp.argsort(mask, axis=1, stable=True), axis=1),
             ids_keep=jnp.argsort(mask, axis=1, stable=True)[:, : t - 2],
         )
-        x, taps, _ = self.encode(local, mode, info, remove_masked=True)
+        x, taps, _, keeps = self.encode(local, mode, info, remove_masked=True)
         outs = self.decode_d2v(x, mode, info)
         if self.recon_proj is not None and outs:
             self.recon_head(outs[0])
         if self.cfg.with_labels:
-            self.linear_eval(taps, mode, None)
+            self.linear_eval(taps, mode, None, keeps=keeps)
         return outs[0] if outs else x
 
     # ------------------------------------------------------------------
@@ -211,8 +213,11 @@ class Data2VecMulti(nn.Module):
 
         Mirrors ModalitySpecificEncoder.contextualized_features
         (nn/modalities/base.py:215-344) followed by the trunk block loop
-        (nn/data2vec2.py:640-674). Returns (x, taps, padding_mask) where
-        taps is (depth, B, T_or_K, C).
+        (nn/data2vec2.py:640-674). Returns (x, taps, padding_mask, keeps)
+        where taps is (depth, B, T_or_K, C) and keeps is the (depth,)
+        layerdrop survival flags (None unless training with layerdrop>0) —
+        consumers average taps via modules.top_k_tap_average to match the
+        reference's kept-layers-only layer_results list.
         """
         enc = self._enc(mode)
         b, t, c = local.shape
@@ -316,7 +321,7 @@ class Data2VecMulti(nn.Module):
 
         x = enc.prenet(x, padding_mask, bias, deterministic, bias_scales=prenet_scales)
         x = self.dropout_input(x, deterministic=deterministic)
-        x, taps = self.blocks(
+        x, taps, keeps = self.blocks(
             x, padding_mask, bias, deterministic, bias_scales=trunk_scales
         )
         if self.norm is not None:
@@ -325,7 +330,7 @@ class Data2VecMulti(nn.Module):
             x = x[:, :t_run]
             taps = taps[:, :, :t_run]
             padding_mask = None if fabricated_mask else padding_mask[:, :t_run]
-        return x, taps, padding_mask
+        return x, taps, padding_mask, keeps
 
     def decode_d2v(
         self,
@@ -371,13 +376,16 @@ class Data2VecMulti(nn.Module):
         mode: str = "AUDIO",
         mask_info: Optional[MaskInfo] = None,
         deterministic: bool = True,
+        keeps: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """Frame-label logits from detached averaged layer taps
         (nn/data2vec2.py:676-712): used as a supervised linear probe during
         pretraining. Decoders (no-grad) scatter keep-set taps back to full
-        length when masking removed tokens."""
+        length when masking removed tokens. ``keeps`` excludes
+        layerdrop-dropped layers from the average (reference appends no
+        layer_result for them)."""
         k = self.cfg.average_top_k_layers
-        x = jax.lax.stop_gradient(taps[-k:].astype(jnp.float32).mean(axis=0))
+        x = jax.lax.stop_gradient(top_k_tap_average(taps, keeps, k))
         x = x.astype(taps.dtype)
         if self.norm is not None:
             x = self.norm(x)
@@ -409,7 +417,7 @@ class Data2VecMulti(nn.Module):
             padding_mask = self._enc(mode).convert_padding_mask(
                 padding_mask, local.shape[1]
             )
-        x, taps, pad = self.encode(
+        x, taps, pad, keeps = self.encode(
             local,
             mode,
             mask_info=mask_info,
@@ -420,9 +428,11 @@ class Data2VecMulti(nn.Module):
             deterministic=deterministic,
         )
         out = {"x": x, "layer_results": taps, "padding_mask": pad}
+        if keeps is not None:
+            out["layer_keeps"] = keeps
         if self.cfg.with_labels:
             out["linear_eval_projection"] = self.linear_eval(
-                taps, mode, None, deterministic
+                taps, mode, None, deterministic, keeps=keeps
             )
         return out
 

@@ -25,6 +25,7 @@ import flax.linen as nn
 
 from animal2vec_tpu.config import FinetuneModelConfig, ModelConfig
 from animal2vec_tpu.models.data2vec2 import Data2VecMulti
+from animal2vec_tpu.models.modules import top_k_tap_average
 from animal2vec_tpu.ops.masking import MaskInfo
 
 
@@ -64,7 +65,7 @@ class FinetuneModel(nn.Module):
         )
         taps = res["layer_results"]  # (depth, B, T, C)
         k = self.cfg.average_top_k_layers
-        x = taps[-k:].astype(jnp.float32).mean(axis=0).astype(taps.dtype)
+        x = top_k_tap_average(taps, res.get("layer_keeps"), k).astype(taps.dtype)
         # freeze gate (nn/wav2vec2.py:442-448): before freeze_finetune_updates
         # only the classifier head receives gradients.
         x = jax.lax.cond(

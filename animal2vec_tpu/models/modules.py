@@ -159,7 +159,7 @@ class QKVProj(nn.Module):
     int8: bool = False
 
     @nn.compact
-    def __call__(self, x, heads: int, bhtd: bool = False):
+    def __call__(self, x, heads: int, bhtd: bool = False, flat: bool = False):
         c_in = x.shape[-1]
         kernel = self.param("kernel", default_kernel_init, (c_in, self.features), jnp.float32)
         bias = (
@@ -169,6 +169,13 @@ class QKVProj(nn.Module):
         )
         kernel = kernel.astype(self.dtype)
         e = self.features // (3 * heads)
+        if flat:
+            # fused (B, T, 3C) output — the training flash entry's
+            # lane-dense residual layout (ops/pallas_attention.py:_fwd_btc)
+            y = quantized_matmul(x, kernel) if self.int8 else x @ kernel
+            if bias is not None:
+                y = y + bias.astype(self.dtype)
+            return y
         if bhtd:
             if self.int8:
                 # int8 runs the plain (B, T, 3C) matmul, then transposes into
@@ -258,8 +265,23 @@ class AltAttention(nn.Module):
             name="qkv",
         )
         proj = OutProj(c, dtype=self.dtype, int8=self.int8, name="proj")
-        if fast:
+        if fast and not deterministic:
+            # training: (B, T, 3C) entry — residuals stay lane-dense, so
+            # autodiff/remat stashes cost 1x their logical size
             from animal2vec_tpu.models.attention import dropout_seed
+            from animal2vec_tpu.ops.pallas_attention import (
+                alibi_flash_attention_btc,
+            )
+
+            qkv_btc = qkv(x, heads=h, flat=True)  # (B, T, 3C)
+            out = alibi_flash_attention_btc(
+                qkv_btc, h, bias.slopes, bias.positions, padding_mask,
+                bias.has_sentinel,
+                self.attn_drop if has_dropout else 0.0,
+                dropout_seed(self.make_rng("dropout")) if has_dropout else None,
+            )
+            out = proj(out, bhtd=False)
+        elif fast:
             from animal2vec_tpu.ops.pallas_attention import (
                 alibi_flash_attention_packed,
             )
@@ -267,9 +289,7 @@ class AltAttention(nn.Module):
             packed = qkv(x, heads=h, bhtd=True)  # (3, B, H, T, E)
             out = alibi_flash_attention_packed(
                 packed, bias.slopes, bias.positions, padding_mask,
-                bias.has_sentinel,
-                self.attn_drop if has_dropout else 0.0,
-                dropout_seed(self.make_rng("dropout")) if has_dropout else None,
+                bias.has_sentinel, 0.0, None,
             )
             out = proj(out, bhtd=True)
         else:
@@ -303,15 +323,26 @@ class BlockConfig:
     ffn_targets: bool = True
     attn_impl: str = "auto"
     matmul_impl: str = "bf16"  # "bf16" | "int8" (serving-only weight+act quant)
+    # remat granularity when the stack remats: "mlp" recomputes only the MLP
+    # sub-block (attention residuals stay; cheaper), "block" recomputes the
+    # whole block (smallest memory)
+    remat_scope: str = "mlp"
 
 
 class AltBlock(nn.Module):
     """Pre/post-LN transformer block returning (x, layer_tap)
     (nn/modalities/modules.py:272-337). The tap is the per-layer value the
-    teacher averages: the MLP output when ffn_targets else the block output."""
+    teacher averages: the MLP output when ffn_targets else the block output.
+
+    remat_mlp: rematerialize only the MLP sub-block (fc1/GELU/fc2 + dropout
+    masks — the dominant activation stash at 4x dim) during the backward,
+    while the attention sub-block keeps its custom_vjp residuals (lane-dense
+    via the btc flash entry). Cheaper than whole-block remat: the flash
+    forward and qkv/out projections are never recomputed."""
 
     cfg: BlockConfig
     dtype: Any = jnp.float32
+    remat_mlp: bool = False
 
     @nn.compact
     def __call__(
@@ -333,7 +364,10 @@ class AltBlock(nn.Module):
             int8=c.matmul_impl == "int8",
             name="attn",
         )
-        mlp = Mlp(
+        mlp_cls = Mlp
+        if self.remat_mlp:
+            mlp_cls = nn.remat(Mlp, static_argnums=(2,), prevent_cse=False)
+        mlp = mlp_cls(
             hidden_dim=int(c.dim * c.mlp_ratio),
             out_dim=c.dim,
             dropout=c.activation_dropout,
@@ -378,9 +412,11 @@ class BlockStack(nn.Module):
     single compiled block body. Returns (x, taps[N, B, T, C]).
 
     layerdrop (nn/data2vec2.py:650-655): when active, a dropped layer passes
-    x through unchanged and records the incoming x as its tap (the reference
-    drops the tap entirely, which is shape-dynamic; this static variant keeps
-    the regularization effect). Inference is identical (no drop).
+    x through unchanged and its per-layer ``keep`` flag goes to 0. The
+    reference drops the tap from ``layer_results`` entirely (shape-dynamic);
+    this static variant returns all taps plus the (depth,) keep flags so
+    consumers reproduce the exact "last k *kept* layers" average via
+    ``top_k_tap_average``. Inference is identical (no drop, keeps=None).
     """
 
     depth: int
@@ -417,12 +453,15 @@ class BlockStack(nn.Module):
             scales = bias_scales.reshape(self.depth, 1, -1, 1, 1)
 
         block_cls = AltBlock
-        if self.remat:
+        remat_mlp = False
+        if self.remat and self.cfg.remat_scope == "block":
             block_cls = nn.remat(
                 AltBlock,
                 static_argnums=(5,),
                 prevent_cse=False,
             )
+        elif self.remat:  # "mlp": rematerialize only the MLP sub-block
+            remat_mlp = True
 
         from animal2vec_tpu.models.attention import AlibiSpec
 
@@ -444,7 +483,8 @@ class BlockStack(nn.Module):
                 )
                 y = jnp.where(keep, y, x)
                 tap = jnp.where(keep, tap, x)
-            return y, tap
+                return y, (tap, keep.astype(jnp.float32))
+            return y, (tap, jnp.ones((), jnp.float32))
 
         scan = nn.scan(
             body,
@@ -453,10 +493,34 @@ class BlockStack(nn.Module):
             in_axes=0,
             length=self.depth,
         )
-        x, taps = scan(
-            block_cls(cfg=self.cfg, dtype=self.dtype, name="block"), x, (dpr, scales)
+        x, (taps, keeps) = scan(
+            block_cls(cfg=self.cfg, dtype=self.dtype, remat_mlp=remat_mlp, name="block"),
+            x, (dpr, scales),
         )
-        return x, taps
+        if not (self.layerdrop > 0 and not deterministic):
+            keeps = None  # static: no layer can drop -> fast mean path
+        return x, taps, keeps
+
+
+def top_k_tap_average(taps, keeps, k: int):
+    """fp32 mean of the last ``k`` *kept* layer taps.
+
+    The reference appends a layer_result only for layers that survive
+    layerdrop (nn/data2vec2.py:649-674), so ``layer_results[-k:]`` indexes
+    kept layers. With static shapes we keep all ``depth`` taps and weight by
+    ``keeps`` (1=kept): layer i contributes iff it is kept and at most k-1
+    kept layers follow it. ``keeps=None`` (inference / layerdrop=0) is the
+    fast path: a plain mean over the last k taps.
+
+    taps: (depth, B, T, C); keeps: (depth,) float or None. Returns fp32
+    (B, T, C).
+    """
+    if keeps is None:
+        return taps[-k:].astype(jnp.float32).mean(axis=0)
+    in_last_k = jnp.flip(jnp.cumsum(jnp.flip(keeps))) <= k
+    w = keeps * in_last_k.astype(keeps.dtype)
+    denom = jnp.maximum(w.sum(), 1.0)
+    return jnp.tensordot(w, taps.astype(jnp.float32), axes=1) / denom
 
 
 class PrenetEncoder(nn.Module):
@@ -485,7 +549,7 @@ class PrenetEncoder(nn.Module):
         if not c.layer_norm_first:
             x = Fp32LayerNorm(epsilon=c.norm_eps, use_affine=c.norm_affine, name="norm")(x)
         x = nn.Dropout(self.prenet_dropout)(x, deterministic=deterministic)
-        x, _ = BlockStack(
+        x, _, _ = BlockStack(
             depth=self.depth,
             cfg=c,
             start_drop_path=self.start_drop_path,

@@ -789,6 +789,70 @@ def _bwd_packed(has_sentinel, dropout_rate, res, g):
 alibi_flash_attention_packed.defvjp(_fwd_packed, _bwd_packed)
 
 
+def _btc_to_packed(qkv_btc: jnp.ndarray, heads: int) -> jnp.ndarray:
+    b, t, c3 = qkv_btc.shape
+    e = c3 // (3 * heads)
+    return jnp.transpose(qkv_btc.reshape(b, t, 3, heads, e), (2, 0, 3, 1, 4))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 5, 6))
+def alibi_flash_attention_btc(qkv_btc, heads: int, slopes, positions,
+                              padding_mask, has_sentinel: bool = True,
+                              dropout_rate: float = 0.0, seed=None):
+    """Training-path entry with **lane-dense residuals**: takes the fused
+    (B, T, 3C) qkv projection, returns (B, T, C).
+
+    The packed (3, B, H, T, 64) layout the kernel consumes pads its last dim
+    to 128 lanes — storing it as an autodiff residual costs 2x its logical
+    size (the dominant allocation in the no-remat finetune HBM dump). This
+    wrapper keeps the residuals in (B, T, 3C)/(B, T, C) form (no padding)
+    and re-derives the kernel layouts inside fwd and bwd; the transposes are
+    cheap relayouts XLA fuses into the adjacent projection matmuls."""
+    b, t, c3 = qkv_btc.shape
+    out, _ = _pallas_forward_packed(
+        _btc_to_packed(qkv_btc, heads), slopes, positions, padding_mask,
+        has_sentinel=has_sentinel, dropout_rate=dropout_rate, seed=seed,
+    )  # (B, H, T, E)
+    return jnp.swapaxes(out, 1, 2).reshape(b, t, c3 // 3)
+
+
+def _fwd_btc(qkv_btc, heads, slopes, positions, padding_mask, has_sentinel,
+             dropout_rate, seed):
+    b, t, c3 = qkv_btc.shape
+    out, lse = _pallas_forward_packed(
+        _btc_to_packed(qkv_btc, heads), slopes, positions, padding_mask,
+        has_sentinel=has_sentinel, dropout_rate=dropout_rate, seed=seed,
+    )
+    out_btc = jnp.swapaxes(out, 1, 2).reshape(b, t, c3 // 3)
+    return out_btc, (qkv_btc, slopes, positions, padding_mask, seed, out_btc, lse)
+
+
+def _bwd_btc(heads, has_sentinel, dropout_rate, res, g):
+    qkv_btc, slopes, positions, padding_mask, seed, out_btc, lse = res
+    b, t, c3 = qkv_btc.shape
+    e = c3 // (3 * heads)
+    t_pad = lse.shape[-1]
+    packed = _btc_to_packed(qkv_btc, heads)
+    to_bhtd = lambda x: _pad_bhtd(
+        jnp.swapaxes(x.reshape(b, t, heads, e), 1, 2), t_pad
+    )
+    bq, bk = _backward_blocks(t_pad)
+    dq, dk, dv, dsl = _pallas_backward(
+        _pad_bhtd(packed[0], t_pad), _pad_bhtd(packed[1], t_pad),
+        _pad_bhtd(packed[2], t_pad),
+        to_bhtd(g), to_bhtd(out_btc), lse,
+        slopes, positions, padding_mask,
+        t=t, block_q=bq, block_k=bk,
+        has_sentinel=has_sentinel, dropout_rate=dropout_rate, seed=seed,
+    )
+    back = lambda x: jnp.swapaxes(x, 1, 2).reshape(b, t, heads * e)
+    dqkv = jnp.concatenate([back(dq), back(dk), back(dv)], axis=-1).astype(qkv_btc.dtype)
+    return dqkv, dsl.astype(slopes.dtype), None, None, None
+
+
+alibi_flash_attention_btc.defvjp(_fwd_btc, _bwd_btc)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
 def alibi_flash_attention_bhtd(q, k, v, slopes, positions, padding_mask,
                                has_sentinel: bool = True,

@@ -119,7 +119,7 @@ def pretrain_loss(
     info = make_mask_info_static(mask, m_tokens, acfg.keep_masked_pct)
 
     rng, r_student, r_dec = jax.random.split(rng, 3)
-    x, taps, _ = model.apply(
+    x, taps, _, keeps = model.apply(
         variables,
         local_c,
         mode,
@@ -145,7 +145,7 @@ def pretrain_loss(
 
     # EMA teacher on the unmasked full sequence (nn/data2vec2.py:779-844)
     teacher_vars = {"params": merge_params(params, ema_params)}
-    _, t_taps, _ = model.apply(
+    _, t_taps, _, _ = model.apply(
         teacher_vars,
         jax.lax.stop_gradient(local),
         mode,
@@ -211,6 +211,7 @@ def pretrain_loss(
             mode,
             info,
             not train,
+            keeps,
             method=Data2VecMulti.linear_eval,
             rngs=_rngs(rng),
         )  # (B*, T, C) after decoder scatter

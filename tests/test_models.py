@@ -202,9 +202,10 @@ class TestData2VecMulti:
         mask = span_mask(jax.random.PRNGKey(0), 2, t, 0.5, 2)
         m = expected_span_mask_tokens(t, 0.5, 2)
         info = make_mask_info_static(mask, m)
-        x, taps, _ = model.apply(
+        x, taps, _, keeps = model.apply(
             params, local, "AUDIO", info, True, method=Data2VecMulti.encode
         )
+        assert keeps is None  # deterministic encode: no layerdrop
         assert x.shape == (2, t - m, 32)
         outs = model.apply(
             params,
@@ -336,3 +337,57 @@ class TestInt8Serving:
         assert np.max(np.abs(got - base)) < 0.05, np.max(np.abs(got - base))
         rel = np.linalg.norm(got - base) / np.linalg.norm(base)
         assert rel < 0.02, rel
+
+
+class TestLayerdrop:
+    """Exact reference layerdrop tap semantics: the reference appends a
+    layer_result only for surviving layers (nn/data2vec2.py:649-674), so the
+    top-k average runs over the last k *kept* layers. Our static-shape
+    equivalent weights all taps by the (depth,) keep flags."""
+
+    def test_top_k_tap_average_matches_list_semantics(self):
+        from animal2vec_tpu.models.modules import top_k_tap_average
+
+        rng = np.random.default_rng(3)
+        depth, k = 6, 3
+        taps = jnp.asarray(rng.normal(size=(depth, 2, 4, 8)).astype(np.float32))
+        for trial in range(8):
+            keeps_np = rng.integers(0, 2, size=depth).astype(np.float32)
+            got = np.asarray(top_k_tap_average(taps, jnp.asarray(keeps_np), k))
+            kept = [np.asarray(taps[i]) for i in range(depth) if keeps_np[i] == 1]
+            if kept:
+                want = np.mean(kept[-k:], axis=0)
+            else:
+                want = np.zeros_like(got)  # all-dropped: defined as 0, not NaN
+            np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+    def test_top_k_tap_average_none_keeps_fast_path(self):
+        from animal2vec_tpu.models.modules import top_k_tap_average
+
+        taps = jnp.asarray(
+            np.random.default_rng(0).normal(size=(4, 1, 3, 5)).astype(np.float32)
+        )
+        got = np.asarray(top_k_tap_average(taps, None, 2))
+        np.testing.assert_allclose(got, np.asarray(taps[-2:]).mean(axis=0), rtol=1e-6)
+
+    def test_blockstack_emits_keep_flags(self):
+        cfg = BlockConfig(dim=16, num_heads=2, mlp_ratio=2.0)
+        stack = BlockStack(depth=4, cfg=cfg, layerdrop=0.5)
+        x = jnp.asarray(np.random.default_rng(1).normal(size=(2, 6, 16)).astype(np.float32))
+        params = stack.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+             "layerdrop": jax.random.PRNGKey(2)},
+            x, None, None, False,
+        )
+        _, _, keeps_det = stack.apply(params, x, None, None, True)
+        assert keeps_det is None  # inference never drops
+        y, taps, keeps = stack.apply(
+            params, x, None, None, False,
+            rngs={"dropout": jax.random.PRNGKey(3), "layerdrop": jax.random.PRNGKey(4)},
+        )
+        keeps = np.asarray(keeps)
+        assert keeps.shape == (4,)
+        assert set(np.unique(keeps)).issubset({0.0, 1.0})
+        # dropped layers pass x through: their tap equals the incoming carry,
+        # but the weighted average excludes them regardless of the value
+        assert taps.shape == (4, 2, 6, 16)

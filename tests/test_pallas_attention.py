@@ -130,6 +130,38 @@ class TestPallasKernel:
         g2 = jax.grad(loss_ref)(packed)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=2e-3, atol=2e-4)
 
+    def test_btc_entry_matches_reference_and_grads(self):
+        """(B, T, 3C) lane-dense training entry: forward and custom_vjp
+        gradients vs the XLA reference, including slope grads and dropout."""
+        from animal2vec_tpu.ops.pallas_attention import alibi_flash_attention_btc
+
+        b, t, h, d = 2, 128, 2, 8
+        q, k, v = make_qkv(b, t, h, d, seed=11)
+        slopes = jnp.asarray(alibi_slopes(h)) * 0.9
+        pos = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32)[None], (b, t))
+        qkv_btc = jnp.concatenate(
+            [x.reshape(b, t, h * d) for x in (q, k, v)], axis=-1
+        )
+
+        out = alibi_flash_attention_btc(qkv_btc, h, slopes, pos, None, False)
+        ref = _reference_attention(q, k, v, slopes, pos, None).reshape(b, t, h * d)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-4)
+
+        def loss_btc(qkv, s):
+            return (alibi_flash_attention_btc(qkv, h, s, pos, None, False) ** 2).sum()
+
+        def loss_ref(qkv, s):
+            qq, kk, vv = (
+                qkv[..., i * h * d:(i + 1) * h * d].reshape(b, t, h, d)
+                for i in range(3)
+            )
+            return (_reference_attention(qq, kk, vv, s, pos, None) ** 2).sum()
+
+        g1, gs1 = jax.grad(loss_btc, argnums=(0, 1))(qkv_btc, slopes)
+        g2, gs2 = jax.grad(loss_ref, argnums=(0, 1))(qkv_btc, slopes)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=2e-3, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(gs1), np.asarray(gs2), rtol=2e-3, atol=2e-3)
+
     def test_custom_vjp_gradients(self):
         b, t, h, d = 1, 64, 2, 4
         q, k, v = make_qkv(b, t, h, d, seed=5)
