@@ -101,6 +101,12 @@ class DatasetConfig:
 
     max_tokens: int = 408_000
     batch_size: Optional[int] = None  # if set, overrides max_tokens batching
+    # Static length buckets for variable-length training corpora, e.g.
+    # "[20000, 40000, 80000]" (samples). Empty = single fixed shape. Each
+    # bucket is one compiled step; batch size scales to keep max_tokens
+    # constant. TPU-native replacement for the reference's length-sorted
+    # max_tokens batching (nn/audio_tasks.py:453-459).
+    bucket_lengths: str = ""
     num_workers: int = 8
     train_subset: str = "pretrain"
     valid_subset: str = "valid_0"
@@ -109,6 +115,9 @@ class DatasetConfig:
     required_batch_size_multiple: int = 1
     disable_validation: bool = False
     skip_invalid_size_inputs: bool = True
+
+    def buckets(self) -> List[int]:
+        return [int(b) for b in parse_pylist(self.bucket_lengths)] if self.bucket_lengths else []
 
 
 @dataclass

@@ -8,7 +8,11 @@ differences:
 * **fixed batch shapes**: the reference packs variable-size batches by token
   count (max_tokens), which would retrigger XLA compilation per shape. Here
   every batch is (B, T) with B = max_tokens // T — same audio-seconds
-  budget, one compiled program.
+  budget, one compiled program. For corpora with wide length spread
+  (NIPS4Bplus), `dataset.bucket_lengths` enables a small static set of clip
+  lengths — one compiled program per bucket, per-bucket batch size scaled to
+  the same token budget — recovering most of the reference's padding savings
+  without dynamic shapes.
 * labels are rasterized directly at the conv feature rate
   (ops/frames.frame_targets) instead of at waveform rate + interpolation —
   identical result, ~40x less host work (SURVEY §7 hard part 5).
@@ -169,11 +173,34 @@ class BatchLoader:
         host_count: int = 1,
         train: bool = True,
         use_native: bool = True,
+        bucket_lengths: Optional[Sequence[int]] = None,
+        batch_multiple: int = 1,
     ):
         assert batch_size or max_tokens
         self.dataset = dataset
         self.target_len = target_len
         self.batch_size = batch_size or max(1, max_tokens // target_len)
+        # Static-shape length bucketing (train only): the reference batches
+        # by a max_tokens budget over length-sorted indices
+        # (nn/audio_tasks.py:453-459), which yields fully dynamic shapes. On
+        # TPU every distinct shape is a separate XLA program, so we instead
+        # batch into a small fixed set of clip lengths — one compiled step
+        # per bucket — with the per-bucket batch size scaled to keep the
+        # token budget constant. Items go to the smallest bucket >= their
+        # length (longer items crop to the top bucket, as without buckets).
+        self.buckets: Optional[List[int]] = None
+        if bucket_lengths and train:
+            bl = sorted({min(int(b), target_len) for b in bucket_lengths} | {target_len})
+            self.buckets = bl
+            budget = max_tokens if max_tokens else self.batch_size * target_len
+            # round each bucket's batch down to batch_multiple (the
+            # data-parallel degree: per-batch sharding over the mesh "data"
+            # axis needs B % dp == 0)
+            m = max(1, batch_multiple)
+            self._bucket_bs = [max(m, (budget // b) // m * m) for b in bl]
+            self._item_bucket = np.searchsorted(
+                np.asarray(bl), dataset.sizes, side="left"
+            ).clip(0, len(bl) - 1)
         self.accum = max(1, accum)
         self.shuffle = shuffle
         self.seed = seed
@@ -198,6 +225,15 @@ class BatchLoader:
                 self._native = False
         if dataset.return_labels:
             self.target_frames = label_frame_length(target_len, dataset.conv_layers)
+        self._frames_cache: Dict[int, int] = {}
+
+    def _frames_for(self, length: int) -> int:
+        """label frames for a clip length (cached per bucket length)."""
+        if length not in self._frames_cache:
+            self._frames_cache[length] = label_frame_length(
+                length, self.dataset.conv_layers
+            )
+        return self._frames_cache[length]
 
     def set_epoch(self, epoch: int):
         if epoch != self.epoch:
@@ -212,6 +248,20 @@ class BatchLoader:
         self.position = int(d.get("position", 0))
 
     def __len__(self) -> int:
+        if self.buckets is not None:
+            n = 0
+            counts = np.bincount(
+                self._item_bucket[
+                    np.arange(len(self.dataset))[self.host_index:: self.host_count]
+                ],
+                minlength=len(self.buckets),
+            )
+            for bi, cnt in enumerate(counts):
+                group = self._bucket_bs[bi] * self.accum
+                n += cnt // group
+                if not self.drop_last and cnt % group:
+                    n += 1
+            return int(n)
         per_host = len(self.dataset) // self.host_count
         group = self.batch_size * self.accum
         n = per_host // group
@@ -227,18 +277,23 @@ class BatchLoader:
             order = np.arange(n)
         return order[self.host_index:: self.host_count]
 
-    def _make_item(self, idx: int, rng: np.random.Generator) -> Dict[str, np.ndarray]:
+    def _make_item(
+        self, idx: int, rng: np.random.Generator, length: Optional[int] = None
+    ) -> Dict[str, np.ndarray]:
+        length = length or self.target_len
         item = self.dataset[int(idx)]
         wav = item["source"]
-        clip, start, valid = pad_or_crop(wav, self.target_len, rng, self.train)
+        clip, start, valid = pad_or_crop(wav, length, rng, self.train)
         out = {"id": item["id"], "source": clip, "valid_len": np.int64(valid)}
         if "target" in item:
-            out["target"] = self._crop_target(item["target"], len(wav), start)
+            out["target"] = self._crop_target(item["target"], len(wav), start, length)
         return out
 
-    def _crop_target(self, tgt: np.ndarray, wav_len: int, start: int) -> np.ndarray:
+    def _crop_target(
+        self, tgt: np.ndarray, wav_len: int, start: int, length: Optional[int] = None
+    ) -> np.ndarray:
         """Crop the feature-rate target aligned with the waveform crop."""
-        tf = self.target_frames
+        tf = self._frames_for(length or self.target_len)
         scale = len(tgt) / max(1, wav_len)
         t_start = int(round(start * scale))
         if len(tgt) >= t_start + tf:
@@ -247,18 +302,21 @@ class BatchLoader:
         padded[: len(tgt) - t_start] = tgt[t_start:]
         return padded
 
-    def _make_group_native(self, idxs, seed: int) -> List[Dict[str, np.ndarray]]:
+    def _make_group_native(
+        self, idxs, seed: int, length: Optional[int] = None
+    ) -> List[Dict[str, np.ndarray]]:
         """Batch decode via the C++ runtime (runtime/a2v_runtime.cc), then
         attach aligned frame targets."""
         import os
 
         from animal2vec_tpu.runtime import decode_batch
 
+        length = length or self.target_len
         ds = self.dataset
         paths = [os.path.join(ds.root, ds.names[int(i)]) for i in idxs]
         out, valid, starts = decode_batch(
             paths,
-            self.target_len,
+            length,
             normalize=ds.normalize,
             train=self.train,
             seed=seed,
@@ -274,19 +332,22 @@ class BatchLoader:
             if ds.return_labels:
                 wav_len = int(ds.sizes[int(i)])
                 item["target"] = self._crop_target(
-                    ds.targets_for(int(i), wav_len), wav_len, int(starts[j])
+                    ds.targets_for(int(i), wav_len), wav_len, int(starts[j]), length
                 )
             items.append(item)
         return items
 
-    def _collate(self, items: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    def _collate(
+        self, items: List[Dict[str, np.ndarray]], length: Optional[int] = None
+    ) -> Dict[str, np.ndarray]:
+        length = length or self.target_len
         batch = {
             "id": np.stack([i["id"] for i in items]),
             "source": np.stack([i["source"] for i in items]),
         }
         valid = np.stack([i["valid_len"] for i in items])
-        if (valid < self.target_len).any():
-            idx = np.arange(self.target_len)[None, :]
+        if (valid < length).any():
+            idx = np.arange(length)[None, :]
             batch["padding_mask"] = idx >= valid[:, None]
         if "target" in items[0]:
             batch["target"] = np.stack([i["target"] for i in items])
@@ -300,13 +361,43 @@ class BatchLoader:
             np.random.default_rng((self.seed, self.epoch, pos)).integers(0, 2**31)
         )
 
-    def _epoch_batches(self) -> Iterator[Dict[str, np.ndarray]]:
+    def _epoch_plan(self) -> List[Tuple[np.ndarray, int, int]]:
+        """Deterministic (idxs, clip_len, batch_size) groups for this epoch.
+
+        Without buckets: contiguous groups of the shuffled host order at the
+        fixed target length. With buckets: per-bucket grouping at that
+        bucket's length/batch size, group order mixed by the epoch seed so
+        compiled-program switches are spread through the epoch rather than
+        sorted (the reference's length-sorted batching concentrates them)."""
         order = self._order()
-        group = self.batch_size * self.accum
-        n_full = len(order) // group
-        ranges = [order[i * group: (i + 1) * group] for i in range(n_full)]
-        if not self.drop_last and len(order) % group:
-            ranges.append(order[n_full * group:])
+        if self.buckets is None:
+            group = self.batch_size * self.accum
+            n_full = len(order) // group
+            ranges = [
+                (order[i * group: (i + 1) * group], self.target_len, self.batch_size)
+                for i in range(n_full)
+            ]
+            if not self.drop_last and len(order) % group:
+                ranges.append((order[n_full * group:], self.target_len, self.batch_size))
+            return ranges
+        ranges = []
+        buckets_of = self._item_bucket[order]
+        for bi, blen in enumerate(self.buckets):
+            sel = order[buckets_of == bi]
+            bs = self._bucket_bs[bi]
+            group = bs * self.accum
+            n_full = len(sel) // group
+            for i in range(n_full):
+                ranges.append((sel[i * group: (i + 1) * group], blen, bs))
+            if not self.drop_last and len(sel) % group:
+                ranges.append((sel[n_full * group:], blen, bs))
+        mix = np.random.default_rng((self.seed, self.epoch, 0xB0CC)).permutation(
+            len(ranges)
+        )
+        return [ranges[int(i)] for i in mix]
+
+    def _epoch_batches(self) -> Iterator[Dict[str, np.ndarray]]:
+        ranges = self._epoch_plan()
         # mid-epoch resume: skip groups already consumed before the restore
         start = self.position if 0 < self.position < len(ranges) else 0
         self.position = start
@@ -320,19 +411,19 @@ class BatchLoader:
                 task = work_q.get()
                 if task is None:
                     return
-                pos, idxs, seed = task
+                pos, idxs, seed, blen, bs = task
                 if self._native:
-                    items = self._make_group_native(idxs, seed)
+                    items = self._make_group_native(idxs, seed, blen)
                 else:
                     w_rng = np.random.default_rng(seed)
-                    items = [self._make_item(i, w_rng) for i in idxs]
+                    items = [self._make_item(i, w_rng, blen) for i in idxs]
                 # pad the final short group by repeating items
-                while len(items) < group:
+                while len(items) < bs * self.accum:
                     items.append(items[len(items) % max(1, len(idxs))])
-                batch = self._collate(items)
+                batch = self._collate(items, blen)
                 if self.train:  # training steps always expect (accum, B, ...)
                     batch = {
-                        k: v.reshape((self.accum, self.batch_size) + v.shape[1:])
+                        k: v.reshape((self.accum, bs) + v.shape[1:])
                         for k, v in batch.items()
                     }
                 out_q.put((pos, batch))
@@ -344,8 +435,8 @@ class BatchLoader:
             t.start()
 
         def feeder():
-            for pos, idxs in enumerate(ranges):
-                work_q.put((pos, idxs, self._group_seed(start + pos)))
+            for pos, (idxs, blen, bs) in enumerate(ranges):
+                work_q.put((pos, idxs, self._group_seed(start + pos), blen, bs))
             for _ in threads:
                 work_q.put(None)
 

@@ -57,7 +57,9 @@ def _target_len(cfg: Config) -> int:
     return 80_000 if cfg.task.sample_rate == 8000 else 10 * cfg.task.sample_rate
 
 
-def _build_loader(cfg: Config, split: str, train: bool, accum: int) -> BatchLoader:
+def _build_loader(
+    cfg: Config, split: str, train: bool, accum: int, mesh=None
+) -> BatchLoader:
     ds = AudioLabelDataset(
         os.path.join(cfg.task.data, f"{split}.tsv"),
         sample_rate=cfg.task.sample_rate,
@@ -83,6 +85,12 @@ def _build_loader(cfg: Config, split: str, train: bool, accum: int) -> BatchLoad
         host_count=jax.process_count(),
         train=train,
         drop_last=train,
+        bucket_lengths=cfg.dataset.buckets(),
+        # bucket batch sizes must stay shardable over the mesh "data" axis
+        batch_multiple=max(
+            cfg.dataset.required_batch_size_multiple,
+            int(mesh.shape["data"]) if mesh is not None else 1,
+        ),
     )
 
 
@@ -191,7 +199,7 @@ def run_pretrain(cfg: Config, max_steps: Optional[int] = None) -> Dict[str, floa
     step_fn = jax.jit(make_pretrain_train_step(model, cfg), donate_argnums=(0,))
     eval_fn = jax.jit(make_pretrain_eval_step(model, cfg))
     accum = max(1, cfg.optimization.update_freq)
-    loader = _build_loader(cfg, cfg.dataset.train_subset, True, accum)
+    loader = _build_loader(cfg, cfg.dataset.train_subset, True, accum, mesh)
     if len(loader) == 0:
         raise ValueError(
             f"train split {cfg.dataset.train_subset!r} yields 0 batches: "
@@ -304,7 +312,7 @@ def run_finetune(
     step_fn = jax.jit(make_finetune_train_step(model, cfg), donate_argnums=(0,))
     eval_fn = jax.jit(make_finetune_eval_step(model, cfg))
     accum = max(1, cfg.optimization.update_freq)
-    loader = _build_loader(cfg, cfg.dataset.train_subset, True, accum)
+    loader = _build_loader(cfg, cfg.dataset.train_subset, True, accum, mesh)
     if len(loader) == 0:
         raise ValueError(
             f"train split {cfg.dataset.train_subset!r} yields 0 batches: "

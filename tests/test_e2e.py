@@ -246,10 +246,10 @@ class TestPatienceAndGather:
 class TestNips4BplusTransfer:
     """NIPS4Bplus-style transfer (BASELINE.json configs[4]): a second sample
     rate, offline resampling through prepare_data_cli, variable-length clips
-    (pad/crop + padding-mask path), few-shot manifest subset, no focal class.
-    Fixed-shape note: variable-length material is padded/cropped to
-    task.max_sample_size — one compiled program instead of the reference's
-    length-bucketed dynamic batches (data/dataset.py module docstring)."""
+    (pad/crop + padding-mask path), few-shot manifest subset, no focal class,
+    and static length-bucketed training batches (dataset.bucket_lengths —
+    the TPU replacement for the reference's length-sorted max_tokens
+    batching; one compiled step per bucket)."""
 
     SR = 16_000
     CONV = "[(9, 7, 1)] + [(16, 4, 2)] + [(16, 3, 2)] + [(16, 2, 2)]"  # /16
@@ -330,6 +330,9 @@ class TestNips4BplusTransfer:
             train_subset="train_0_few_3",  # few-shot subset (50%)
             valid_subset="valid_0",
             validate_interval_updates=3, validate_after_updates=0,
+            # 0.25 s + 0.5 s buckets: short clips train at their own compiled
+            # shape instead of padding to max_sample_size
+            bucket_lengths="[4000]",
         )
         cfg.model = tiny_model_cfg()
         cfg.model.unique_labels = self.BIRDS
