@@ -29,3 +29,7 @@ from animal2vec_tpu.ops.stats import (
 )
 from animal2vec_tpu.ops.frames import rasterize_labels, downsample_targets
 from animal2vec_tpu.ops.audio import chunk_and_normalize, layer_norm_1d
+from animal2vec_tpu.ops.ring_attention import (
+    ring_flash_attention,
+    ring_attention_sharded,
+)

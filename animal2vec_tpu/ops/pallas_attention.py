@@ -185,9 +185,12 @@ def _pallas_forward(
     bhtd_layout: bool = False,
     dropout_rate: float = 0.0,
     seed: Optional[jnp.ndarray] = None,
+    positions_k: Optional[jnp.ndarray] = None,
 ):
     """Returns (out, lse) with out in the input layout and lse (B, H, T_pad)
-    fp32 (consumed by the Pallas backward)."""
+    fp32 (consumed by the Pallas backward). ``positions_k`` (B, T) lets the
+    key positions differ from the query positions (ring attention passes a
+    rotating global key-block offset); defaults to ``positions``."""
     if bhtd_layout:
         b, h, t, d = q.shape
     else:
@@ -215,6 +218,11 @@ def _pallas_forward(
     # (B, 1, T) layout so the VMEM block (1, 1, block) satisfies the
     # TPU tiling rule (second-to-last dim == full array dim)
     pos = pad_seq(positions.astype(jnp.int32))[:, None, :]
+    pos_k = (
+        pos
+        if positions_k is None
+        else pad_seq(positions_k.astype(jnp.int32))[:, None, :]
+    )
     mask = (
         jnp.zeros((b, t), jnp.int32)
         if padding_mask is None
@@ -277,7 +285,7 @@ def _pallas_forward(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(slope_arr, seed_arr, qp, kp, vp, pos, pos, mask)
+    )(slope_arr, seed_arr, qp, kp, vp, pos, pos_k, mask)
     lse = lse.reshape(b, h, t_pad)
     if bhtd_layout:
         return out[:, :, :t], lse  # (B, H, T, D)
