@@ -168,13 +168,20 @@ def flash_attention_tpu(
 def pallas_eligible(bias, t: int, has_dropout: bool, impl: str) -> bool:
     """Whether the structured-ALiBi Pallas kernel path applies. Attention
     dropout no longer disqualifies: the kernel draws a hash-based mask
-    inline and reproduces it exactly in the Pallas backward."""
+    inline and reproduces it exactly in the Pallas backward.
+
+    The threshold is low (one 128-lane tile) on purpose: even where the
+    einsum is competitive on FLOPs — the ~125-token masked-student keep-set
+    — the XLA path materializes fp32 (B*, H, t, t) probabilities that the
+    grad-accum scan then *saves as residuals for every layer* (~1.3 GB/step
+    for the a2v-large pretrain recipe, the allocation that OOMed a 16 GB
+    v5e); the kernel's custom_vjp recomputes score tiles instead."""
     del has_dropout
     return (
         isinstance(bias, AlibiSpec)
         and impl != "xla"
         and _on_tpu()
-        and t >= 256
+        and t >= 64
     )
 
 
@@ -205,7 +212,7 @@ def multihead_attention(
     t = q.shape[1]
     has_dropout = dropout_rate > 0.0 and dropout_rng is not None
     if isinstance(bias, AlibiSpec):
-        use_pallas = impl != "xla" and _on_tpu() and t >= 256
+        use_pallas = pallas_eligible(bias, t, has_dropout, impl)
         if use_pallas or impl == "flash":
             from animal2vec_tpu.ops.pallas_attention import alibi_flash_attention
 

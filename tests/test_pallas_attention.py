@@ -189,6 +189,36 @@ class TestPallasBackward:
     def _grads(self, loss, *args):
         return jax.grad(loss, argnums=tuple(range(len(args))))(*args)
 
+    def test_backward_small_t_gathered_positions(self):
+        """The masked-student regime the low pallas_eligible threshold
+        enables: ~125 kept tokens with non-contiguous gathered positions.
+        On a 16 GB v5e the XLA fallback here OOMed a2v-large pretraining
+        (per-layer fp32 probs saved as scan residuals)."""
+        b, t, h, d = 2, 125, 2, 8
+        q, k, v = make_qkv(b, t, h, d, seed=13)
+        slopes = jnp.asarray(alibi_slopes(h))
+        rng = np.random.default_rng(5)
+        pos = jnp.asarray(
+            np.sort(rng.choice(2000, size=(b, t), replace=False), axis=1)
+        ).astype(jnp.int32)
+
+        def loss_pallas(q, k, v, s):
+            out = alibi_flash_attention(q, k, v, s, pos, None, True, False)
+            return (out.astype(jnp.float32) ** 2).sum()
+
+        def loss_ref(q, k, v, s):
+            return (
+                _reference_attention(q, k, v, s, pos, None).astype(jnp.float32) ** 2
+            ).sum()
+
+        g1 = self._grads(loss_pallas, q, k, v, slopes)
+        g2 = self._grads(loss_ref, q, k, v, slopes)
+        for i, (a, r) in enumerate(zip(g1, g2)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(r), rtol=2e-3, atol=2e-3,
+                err_msg=f"grad arg {i}",
+            )
+
     @pytest.mark.parametrize("t,use_pad,use_sentinel", [
         (256, False, False),
         (200, False, True),   # unaligned (pads to 256) + CLS sentinel
