@@ -208,6 +208,7 @@ class Data2VecMulti(nn.Module):
         channel_mask: Optional[jnp.ndarray] = None,
         zero_mask: bool = True,
         deterministic: bool = True,
+        reduce_targets: bool = False,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
         """Contextualize local features and run the trunk.
 
@@ -218,6 +219,13 @@ class Data2VecMulti(nn.Module):
         layerdrop survival flags (None unless training with layerdrop>0) —
         consumers average taps via modules.top_k_tap_average to match the
         reference's kept-layers-only layer_results list.
+
+        ``reduce_targets=True`` (EMA teacher path) streams the top-k
+        layer-average target computation through the trunk scan: the second
+        return value becomes the fp32 (B, T, C) *sum* of the last-k
+        per-layer-normalized taps (divide by k and finish_targets() to get
+        the reference's make_targets result) and no (depth, B, T, C) stack
+        is ever materialized.
         """
         enc = self._enc(mode)
         b, t, c = local.shape
@@ -321,14 +329,31 @@ class Data2VecMulti(nn.Module):
 
         x = enc.prenet(x, padding_mask, bias, deterministic, bias_scales=prenet_scales)
         x = self.dropout_input(x, deterministic=deterministic)
+        tap_reduce = tap_weights = None
+        if reduce_targets:
+            k = self.cfg.average_top_k_layers
+            tap_weights = (
+                jnp.arange(self.cfg.depth) >= self.cfg.depth - k
+            ).astype(jnp.float32)
+
+            def tap_reduce(tap):
+                # normalize only the real sequence: the trunk-level kernel
+                # padding (t_run -> t_padded) must not pollute the norm
+                # statistics (the stacked path trims before make_targets)
+                tl = normalize_target_layer(tap[:, :t_run], self.cfg)
+                if t_padded != t_run:
+                    tl = jnp.pad(tl, ((0, 0), (0, t_padded - t_run), (0, 0)))
+                return tl
+
         x, taps, keeps = self.blocks(
-            x, padding_mask, bias, deterministic, bias_scales=trunk_scales
+            x, padding_mask, bias, deterministic, bias_scales=trunk_scales,
+            tap_reduce=tap_reduce, tap_weights=tap_weights,
         )
         if self.norm is not None:
             x = self.norm(x)
         if t_padded != t_run:
             x = x[:, :t_run]
-            taps = taps[:, :, :t_run]
+            taps = taps[:, :t_run] if reduce_targets else taps[:, :, :t_run]
             padding_mask = None if fabricated_mask else padding_mask[:, :t_run]
         return x, taps, padding_mask, keeps
 
@@ -450,28 +475,29 @@ class Data2VecMulti(nn.Module):
         return (target - mean) / jnp.sqrt(var + 1e-6)
 
 
-def make_targets(
-    taps: jnp.ndarray,
-    cfg: ModelConfig,
-) -> jnp.ndarray:
-    """Teacher targets: average the top-k layer taps with the configured
-    normalizations (nn/data2vec2.py:1023-1066). taps: (depth, B, T, C)."""
-    k = cfg.average_top_k_layers
-    tl = taps[-k:].astype(jnp.float32)
+def normalize_target_layer(tl: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
+    """Per-layer target normalizations on a single fp32 (B, T, C) tap
+    (nn/data2vec2.py:1035-1056). Every configured norm reduces within one
+    layer, which is what makes streaming accumulation possible."""
     if cfg.batch_norm_target_layer:
-        mean = tl.mean(axis=(1, 2), keepdims=True)
-        var = tl.var(axis=(1, 2), keepdims=True)
+        mean = tl.mean(axis=(0, 1), keepdims=True)
+        var = tl.var(axis=(0, 1), keepdims=True)
         tl = (tl - mean) * jax.lax.rsqrt(var + 1e-5)
     if cfg.instance_norm_target_layer:
-        # per layer, per batch item, per channel over time
-        mean = tl.mean(axis=2, keepdims=True)
-        var = tl.var(axis=2, keepdims=True)
+        # per batch item, per channel over time
+        mean = tl.mean(axis=1, keepdims=True)
+        var = tl.var(axis=1, keepdims=True)
         tl = (tl - mean) * jax.lax.rsqrt(var + 1e-5)
     if cfg.layer_norm_target_layer:
         mean = tl.mean(axis=-1, keepdims=True)
         var = tl.var(axis=-1, keepdims=True)
         tl = (tl - mean) * jax.lax.rsqrt(var + 1e-5)
-    y = tl.mean(axis=0)
+    return tl
+
+
+def finish_targets(y: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
+    """Post-average target normalizations (nn/data2vec2.py:1058-1064).
+    y: fp32 (B, T, C) mean of the normalized top-k taps."""
     if cfg.layer_norm_targets:
         mean = y.mean(axis=-1, keepdims=True)
         var = y.var(axis=-1, keepdims=True)
@@ -479,6 +505,23 @@ def make_targets(
     if cfg.instance_norm_targets:
         y = fp32_instance_norm(y)
     return y
+
+
+def make_targets(
+    taps: jnp.ndarray,
+    cfg: ModelConfig,
+) -> jnp.ndarray:
+    """Teacher targets: average the top-k layer taps with the configured
+    normalizations (nn/data2vec2.py:1023-1066). taps: (depth, B, T, C).
+
+    The training path streams this computation through the teacher's scan
+    instead (encode(reduce_targets=True) + finish_targets), never stacking
+    the (depth, B, T, C) fp32 taps; this stacked form remains for tests and
+    feature extraction."""
+    k = cfg.average_top_k_layers
+    tl = taps[-k:].astype(jnp.float32)
+    tl = jax.vmap(lambda l: normalize_target_layer(l, cfg))(tl)
+    return finish_targets(tl.mean(axis=0), cfg)
 
 
 def ema_param_label(path: Tuple[str, ...], ema_encoder_only: bool) -> bool:

@@ -435,7 +435,17 @@ class BlockStack(nn.Module):
         bias=None,
         deterministic: bool = True,
         bias_scales: Optional[jnp.ndarray] = None,
+        tap_reduce=None,
+        tap_weights: Optional[jnp.ndarray] = None,
     ):
+        """``tap_reduce`` streams the per-layer taps into a running fp32
+        accumulator inside the scan instead of stacking them: carry gains a
+        (B, T, C) fp32 sum of ``tap_weights[i] * tap_reduce(tap_i)`` and the
+        (depth, B, T, C) taps tensor is never materialized. The EMA teacher
+        uses this for its top-k layer-average targets — the stacked fp32
+        taps are the second-largest pretrain HBM buffer (0.5 GB for
+        a2v-large at batch 4). Returns (x, acc, keeps=None); teacher runs
+        deterministic, so layerdrop cannot be active with tap_reduce."""
         import numpy as np
 
         # static zero when drop-path is off (the shipped configs): skips the
@@ -465,9 +475,22 @@ class BlockStack(nn.Module):
 
         from animal2vec_tpu.models.attention import AlibiSpec
 
+        streaming = tap_reduce is not None
+        if streaming:
+            assert deterministic or self.layerdrop == 0.0, (
+                "tap_reduce streaming cannot express layerdrop's "
+                "kept-layers-only average; teacher runs deterministic"
+            )
+            if tap_weights is None:
+                tap_weights = jnp.ones((self.depth,), jnp.float32)
+
         def body(block, carry, layer_in):
-            x = carry
-            rate, scale = layer_in
+            if streaming:
+                x, acc = carry
+                rate, scale, w = layer_in
+            else:
+                x = carry
+                rate, scale = layer_in
             if no_dp:
                 rate = 0.0
             if bias is None:
@@ -477,6 +500,9 @@ class BlockStack(nn.Module):
             else:
                 ab = bias * scale.astype(bias.dtype)
             y, tap = block(x, padding_mask, ab, rate, deterministic)
+            if streaming:
+                acc = acc + w * tap_reduce(tap.astype(jnp.float32))
+                return (y, acc), jnp.ones((), jnp.float32)
             if self.layerdrop > 0 and not deterministic:
                 keep = jax.random.bernoulli(
                     block.make_rng("layerdrop"), 1.0 - self.layerdrop, ()
@@ -493,10 +519,14 @@ class BlockStack(nn.Module):
             in_axes=0,
             length=self.depth,
         )
-        x, (taps, keeps) = scan(
-            block_cls(cfg=self.cfg, dtype=self.dtype, remat_mlp=remat_mlp, name="block"),
-            x, (dpr, scales),
+        block = block_cls(
+            cfg=self.cfg, dtype=self.dtype, remat_mlp=remat_mlp, name="block"
         )
+        if streaming:
+            acc0 = jnp.zeros(x.shape, jnp.float32)
+            (x, acc), _ = scan(block, (x, acc0), (dpr, scales, tap_weights))
+            return x, acc, None
+        x, (taps, keeps) = scan(block, x, (dpr, scales))
         if not (self.layerdrop > 0 and not deterministic):
             keeps = None  # static: no layer can drop -> fast mean path
         return x, taps, keeps

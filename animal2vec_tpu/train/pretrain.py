@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from animal2vec_tpu.config import Config
-from animal2vec_tpu.models.data2vec2 import Data2VecMulti, make_targets
+from animal2vec_tpu.models.data2vec2 import Data2VecMulti, finish_targets
 from animal2vec_tpu.ops import (
     bc_mixup,
     d2v_regression_loss,
@@ -143,9 +143,11 @@ def pretrain_loss(
         rngs=_rngs(r_dec),
     )
 
-    # EMA teacher on the unmasked full sequence (nn/data2vec2.py:779-844)
+    # EMA teacher on the unmasked full sequence (nn/data2vec2.py:779-844).
+    # reduce_targets streams the top-k normalized-tap sum through the
+    # teacher's scan — the (depth, B, T, C) fp32 tap stack never exists.
     teacher_vars = {"params": merge_params(params, ema_params)}
-    _, t_taps, _, _ = model.apply(
+    _, t_acc, _, _ = model.apply(
         teacher_vars,
         jax.lax.stop_gradient(local),
         mode,
@@ -155,9 +157,12 @@ def pretrain_loss(
         None,
         True,
         True,  # deterministic
+        True,  # reduce_targets
         method=Data2VecMulti.encode,
     )
-    y = make_targets(jax.lax.stop_gradient(t_taps), mcfg)  # (B, T, C) fp32
+    y = finish_targets(
+        jax.lax.stop_gradient(t_acc) / mcfg.average_top_k_layers, mcfg
+    )  # (B, T, C) fp32
     if clone > 1:
         y = jnp.repeat(y, clone, axis=0)
 

@@ -217,6 +217,31 @@ class TestData2VecMulti:
         )
         assert len(outs) == 1 and outs[0].shape == (2, t, 32)
 
+    def test_streaming_targets_equal_stacked(self, model_and_params):
+        """encode(reduce_targets=True) + finish_targets must reproduce
+        make_targets(stacked taps) exactly — the streaming path is the
+        teacher's HBM-saving route (no (depth, B, T, C) stack)."""
+        from animal2vec_tpu.models.data2vec2 import finish_targets
+
+        cfg, model, params = model_and_params
+        src = jnp.asarray(
+            np.random.default_rng(7).normal(size=(2, 800)).astype(np.float32)
+        )
+        local = model.apply(params, src, method=Data2VecMulti.local_features)
+        _, taps, _, _ = model.apply(
+            params, local, "AUDIO", None, False, None, None, True, True,
+            method=Data2VecMulti.encode,
+        )
+        want = make_targets(taps, cfg)
+        _, acc, _, _ = model.apply(
+            params, local, "AUDIO", None, False, None, None, True, True, True,
+            method=Data2VecMulti.encode,
+        )
+        got = finish_targets(acc / cfg.average_top_k_layers, cfg)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+        )
+
     def test_make_targets_instance_norm(self):
         cfg = tiny_model_cfg()
         taps = jnp.asarray(np.random.default_rng(2).normal(size=(3, 2, 10, 8)).astype(np.float32))
