@@ -117,12 +117,18 @@ def main_pretrain():
     from animal2vec_tpu.train.pretrain import make_pretrain_train_step
 
     here = os.path.dirname(os.path.abspath(__file__))
+    overrides = [
+        "common.compute_dtype=bfloat16",
+        "optimization.update_freq=1",
+    ]
+    # A2V_BENCH_REMAT=block selects full-block rematerialization — the
+    # recipe that fits a2v-large pretraining on a 16 GB v5e at batch >= 4
+    # (docs/PERF.md "training throughput")
+    if os.environ.get("A2V_BENCH_REMAT"):
+        overrides.append(f"model.remat_scope={os.environ['A2V_BENCH_REMAT']}")
     cfg = load_config(
         os.path.join(here, "animal2vec_tpu/configs/a2v_large_pretrain.yaml"),
-        overrides=[
-            "common.compute_dtype=bfloat16",
-            "optimization.update_freq=1",
-        ],
+        overrides=overrides,
     )
     batch = int(os.environ.get("A2V_BENCH_BATCH", "4"))
     wav_len = 80_000
