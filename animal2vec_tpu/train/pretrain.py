@@ -163,13 +163,22 @@ def pretrain_loss(
     y = finish_targets(
         jax.lax.stop_gradient(t_acc) / mcfg.average_top_k_layers, mcfg
     )  # (B, T, C) fp32
-    if clone > 1:
-        y = jnp.repeat(y, clone, axis=0)
 
-    # static-count masked gather (ids, not boolean select)
+    # static-count masked gather (ids, not boolean select). The clone rows
+    # [i*clone, (i+1)*clone) all read sample i's targets, so gather straight
+    # from the un-cloned y by folding the clone axis into the gather index —
+    # the repeat_interleave'd (B*clone, T, C) fp32 teacher-target buffer
+    # (~0.4 GB for a2v-large at batch 4) never materializes
+    # (reference: nn/data2vec2.py:846-858 repeats, then indexes).
     k_keep = info.ids_keep.shape[1]
     ids_masked = info.ids_shuffle[:, k_keep:]  # (B*, M)
-    y_m = jnp.take_along_axis(y, ids_masked[..., None], axis=1)
+    m_cnt = ids_masked.shape[1]
+    if clone > 1:
+        ids_flat = ids_masked.reshape(b, clone * m_cnt)
+        y_m = jnp.take_along_axis(y, ids_flat[..., None], axis=1)
+        y_m = y_m.reshape(b * clone, m_cnt, y.shape[-1])
+    else:
+        y_m = jnp.take_along_axis(y, ids_masked[..., None], axis=1)
     sample_size = jnp.asarray(ids_masked.size, jnp.float32)
 
     losses = {}
@@ -187,7 +196,8 @@ def pretrain_loss(
             )
 
     if mcfg.cls_loss > 0 and acfg.num_extra_tokens > 0:
-        cls_target = y.reshape(b * clone, t, -1).mean(axis=1)
+        # per-sample time-mean, broadcast to the clone rows post-reduction
+        cls_target = jnp.repeat(y.mean(axis=1), clone, axis=0) if clone > 1 else y.mean(axis=1)
         cls_pred = x[:, acfg.num_extra_tokens - 1]
         losses["cls"] = (
             d2v_regression_loss(cls_pred, cls_target, mcfg.loss_beta, mcfg.loss_scale).sum()
@@ -199,8 +209,11 @@ def pretrain_loss(
             variables, batch["source"], method=Data2VecMulti.patchify_targets
         )
         if clone > 1:
-            recon_t = jnp.repeat(recon_t, clone, axis=0)
-        recon_t = jnp.take_along_axis(recon_t, ids_masked[..., None], axis=1)
+            ids_flat = ids_masked.reshape(b, clone * m_cnt)
+            recon_t = jnp.take_along_axis(recon_t, ids_flat[..., None], axis=1)
+            recon_t = recon_t.reshape(b * clone, m_cnt, recon_t.shape[-1])
+        else:
+            recon_t = jnp.take_along_axis(recon_t, ids_masked[..., None], axis=1)
         recon = jnp.take_along_axis(xs[0], ids_masked[..., None], axis=1)
         recon = model.apply(variables, recon, method=Data2VecMulti.recon_head)
         losses["recon"] = (

@@ -37,37 +37,43 @@ def chain(name, body, c0, iters, flops_per_iter):
 
 
 def main():
-    bq, bk, d = 1024, 2048, 64
+    # nb tile-pairs batched per iteration so per-dispatch overhead amortizes
+    # (single-tile chains measured dispatch, not the MXU: 0.7 TFLOP/s)
+    nb, bq, bk, d = 8, 1024, 2048, 64
     iters = int(os.environ.get("ITERS", "50"))
     rng = np.random.default_rng(0)
-    q = jnp.asarray(rng.normal(size=(bq, d)).astype(np.float32), jnp.bfloat16)
-    k = jnp.asarray(rng.normal(size=(bk, d)).astype(np.float32), jnp.bfloat16)
-    v = jnp.asarray(rng.normal(size=(bk, d)).astype(np.float32), jnp.bfloat16)
-    fl_qk = 2 * bq * bk * d
-    fl_pv = 2 * bq * bk * d
+    q = jnp.asarray(rng.normal(size=(nb, bq, d)).astype(np.float32), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(nb, bk, d)).astype(np.float32), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(nb, bk, d)).astype(np.float32), jnp.bfloat16)
+    fl_qk = 2 * nb * bq * bk * d
+    fl_pv = 2 * nb * bq * bk * d
 
-    # bf16 reference: S = qK^T (bq,bk); out = S@V (bq,d); feed back into q
+    def bdot(a, b_, trans_b, prefer):
+        cdim = 2 if trans_b else 1
+        return jax.lax.dot_general(
+            a, b_, (((2,), (cdim,)), ((0,), (0,))), preferred_element_type=prefer
+        )
+
+    # bf16 reference: S = qK^T (nb,bq,bk); out = S@V (nb,bq,d); feed back
     def bf16_body(c):
-        s = jax.lax.dot_general(c, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        o = jax.lax.dot_general(s.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+        s = bdot(c, k, True, jnp.float32)
+        o = bdot(s.astype(jnp.bfloat16), v, False, jnp.float32)
+        # renormalize so the feedback chain stays finite (tiny VPU cost)
+        o = o * jax.lax.rsqrt(jnp.mean(o * o) + 1e-6)
         return o.astype(jnp.bfloat16)
 
-    chain("bf16 qk+pv tile chain (1024x2048x64)", bf16_body, q, iters, fl_qk + fl_pv)
+    chain("bf16 qk+pv tile chain (8x1024x2048x64)", bf16_body, q, iters, fl_qk + fl_pv)
 
     # int8: pre-quantized q/k/v; S int32 -> int8 shift; out int32
-    qi = (np.asarray(q, np.float32) * 10).astype(np.int8)
+    qi = (np.asarray(q, np.float32) * 10).astype(np.int8)  # noqa: E501 (values irrelevant to timing)
     ki = (np.asarray(k, np.float32) * 10).astype(np.int8)
     vi = (np.asarray(v, np.float32) * 10).astype(np.int8)
     qi, ki, vi = jnp.asarray(qi), jnp.asarray(ki), jnp.asarray(vi)
 
     def int8_body(c):
-        s = jax.lax.dot_general(c, ki, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.int32)
+        s = bdot(c, ki, True, jnp.int32)
         p = (s >> 8).astype(jnp.int8)
-        o = jax.lax.dot_general(p, vi, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.int32)
+        o = bdot(p, vi, False, jnp.int32)
         return (o >> 8).astype(jnp.int8)
 
     chain("int8 qk+pv tile chain (pre-quant, upper bound)", int8_body, qi, iters,
@@ -76,14 +82,12 @@ def main():
     # mixed realism: bf16 q/k with in-loop quantization (what a fused kernel
     # would actually pay: quantize + matmul + dequant)
     def int8_fusedquant_body(c):
-        scale = jnp.max(jnp.abs(c), axis=1, keepdims=True) / 127.0
+        scale = jnp.max(jnp.abs(c), axis=2, keepdims=True) / 127.0 + 1e-9
         cq = jnp.clip(jnp.round(c.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
-        s = jax.lax.dot_general(cq, ki, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.int32)
+        s = bdot(cq, ki, True, jnp.int32)
         sf = s.astype(jnp.float32) * scale
         p = jnp.clip(jnp.round(sf / 256.0), -127, 127).astype(jnp.int8)
-        o = jax.lax.dot_general(p, vi, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.int32)
+        o = bdot(p, vi, False, jnp.int32)
         return (o >> 8).astype(jnp.bfloat16)
 
     chain("int8 qk+pv with in-loop act quant", int8_fusedquant_body, q, iters,
@@ -91,31 +95,29 @@ def main():
 
     # and the D=128 comparison: does bf16 at d=128 cost the same wall time
     # (confirming the occupancy argument)?
-    q2 = jnp.concatenate([q, q], axis=1)
-    k2 = jnp.concatenate([k, k], axis=1)
-    v2 = jnp.concatenate([v, v], axis=1)
+    q2 = jnp.concatenate([q, q], axis=2)
+    k2 = jnp.concatenate([k, k], axis=2)
+    v2 = jnp.concatenate([v, v], axis=2)
 
     def bf16_d128_body(c):
-        s = jax.lax.dot_general(c, k2, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        o = jax.lax.dot_general(s.astype(jnp.bfloat16), v2, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+        s = bdot(c, k2, True, jnp.float32)
+        o = bdot(s.astype(jnp.bfloat16), v2, False, jnp.float32)
+        o = o * jax.lax.rsqrt(jnp.mean(o * o) + 1e-6)
         return o.astype(jnp.bfloat16)
 
     chain("bf16 qk+pv tile chain at d=128 (2x flops)", bf16_d128_body, q2, iters,
           2 * (fl_qk + fl_pv))
 
+    ki2 = jnp.concatenate([ki, ki], axis=2)
+    vi2 = jnp.concatenate([vi, vi], axis=2)
+
     def int8_d128_body(c):
-        s = jax.lax.dot_general(c, jnp.concatenate([ki, ki], axis=1),
-                                (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.int32)
+        s = bdot(c, ki2, True, jnp.int32)
         p = (s >> 8).astype(jnp.int8)
-        o = jax.lax.dot_general(p, jnp.concatenate([vi, vi], axis=1),
-                                (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.int32)
+        o = bdot(p, vi2, False, jnp.int32)
         return (o >> 8).astype(jnp.int8)
 
-    qi2 = jnp.concatenate([qi, qi], axis=1)
+    qi2 = jnp.concatenate([qi, qi], axis=2)
     chain("int8 qk+pv tile chain at d=128 (2x flops)", int8_d128_body, qi2, iters,
           2 * (fl_qk + fl_pv))
 

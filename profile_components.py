@@ -93,7 +93,7 @@ def main():
 
         if "encode" in parts:
             def stack(x):
-                out, taps, _ = enc.apply(enc_vars, x, method=Data2VecMulti.encode)
+                out, taps, _, _ = enc.apply(enc_vars, x, method=Data2VecMulti.encode)
                 k = 16
                 avg = taps[-k:].astype(jnp.float32).mean(axis=0)
                 return dep(x, avg)
