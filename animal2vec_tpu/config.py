@@ -130,6 +130,9 @@ class DistributedConfig:
     model_parallel: int = 1
     # Shard parameters/optimizer state over the data axis (FSDP/ZeRO-style).
     fsdp: bool = False
+    # >1 adds a "stage" mesh axis and GPipe-pipelines the trunk depth over
+    # it (parallel/pipeline.py); depth must be divisible by it.
+    pipeline_parallel: int = 1
 
 
 @dataclass
@@ -340,6 +343,10 @@ class ModelConfig:
     # keeps its flash residuals; ~15-20% faster step); "block": recompute
     # whole blocks (smallest memory footprint)
     remat_scope: str = "mlp"
+    # >1 pipelines the trunk over a "stage" mesh axis (parallel/pipeline.py);
+    # set via distributed.pipeline_parallel, copied in by the model builders
+    pipeline_stages: int = 1
+    pipeline_microbatches: int = 0  # 0 = auto (2 * stages)
 
     # resolved cross-refs
     with_labels: bool = False

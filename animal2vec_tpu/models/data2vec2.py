@@ -109,6 +109,8 @@ class Data2VecMulti(nn.Module):
             layerdrop=cfg.layerdrop,
             remat=cfg.remat,
             dtype=self.dtype,
+            pipeline_stages=cfg.pipeline_stages,
+            pipeline_microbatches=cfg.pipeline_microbatches,
         )
         if cfg.layer_norm_first:
             self.norm = Fp32LayerNorm(epsilon=cfg.norm_eps, use_affine=cfg.norm_affine)

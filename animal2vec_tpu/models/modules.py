@@ -426,6 +426,12 @@ class BlockStack(nn.Module):
     layerdrop: float = 0.0
     remat: bool = False
     dtype: Any = jnp.float32
+    # >1 splits the stack depth-wise over a "stage" mesh axis and runs a
+    # GPipe microbatch schedule (parallel/pipeline.py). Takes effect only
+    # under an active mesh with a matching "stage" axis; otherwise the
+    # plain scan runs (identical numerics).
+    pipeline_stages: int = 1
+    pipeline_microbatches: int = 0
 
     @nn.compact
     def __call__(
@@ -484,6 +490,14 @@ class BlockStack(nn.Module):
             if tap_weights is None:
                 tap_weights = jnp.ones((self.depth,), jnp.float32)
 
+        if self.pipeline_stages > 1 and not self.is_initializing():
+            out = self._pipelined(
+                x, padding_mask, bias, deterministic, dpr, scales,
+                tap_reduce, tap_weights, no_dp,
+            )
+            if out is not None:
+                return out
+
         def body(block, carry, layer_in):
             if streaming:
                 x, acc = carry
@@ -530,6 +544,100 @@ class BlockStack(nn.Module):
         if not (self.layerdrop > 0 and not deterministic):
             keeps = None  # static: no layer can drop -> fast mean path
         return x, taps, keeps
+
+    def _pipelined(
+        self, x, padding_mask, bias, deterministic, dpr, scales,
+        tap_reduce, tap_weights, no_dp,
+    ):
+        """GPipe the stack over the ambient mesh's "stage" axis; None when
+        preconditions fail (no mesh / axis mismatch / dense bias / depth not
+        divisible) so the caller falls back to the plain scan."""
+        from animal2vec_tpu.models.attention import AlibiSpec
+        from animal2vec_tpu.parallel.pipeline import active_mesh, pipeline_blocks
+
+        mesh = active_mesh()
+        if (
+            mesh is None
+            or "stage" not in mesh.axis_names
+            or mesh.shape["stage"] != self.pipeline_stages
+            or self.depth % self.pipeline_stages != 0
+            or not (bias is None or isinstance(bias, AlibiSpec))
+        ):
+            return None
+        stacked = self.get_variable("params", "block")
+        if stacked is None:
+            return None
+
+        def key_array(name):
+            if deterministic or not self.has_rng(name):
+                return None
+            k = self.make_rng(name)
+            if jnp.issubdtype(k.dtype, jax.dtypes.prng_key):
+                k = jax.random.key_data(k)
+            keys = jax.vmap(
+                lambda i: jax.random.fold_in(
+                    jax.random.wrap_key_data(k, impl="threefry2x32"), i
+                )
+            )(jnp.arange(self.depth))
+            return jax.random.key_data(keys)  # (depth, 2) uint32
+
+        c = self.cfg
+        # AltBlock touches the "dropout" stream whenever it runs
+        # non-deterministic (drop_path draws unconditionally), so provide
+        # keys iff the stream exists; key_array returns None when it doesn't
+        dropout_keys = key_array("dropout")
+        layerdrop_keys = key_array("layerdrop") if self.layerdrop > 0 else None
+
+        slopes_scaled = None
+        positions = None
+        has_sentinel = False
+        if isinstance(bias, AlibiSpec):
+            positions = bias.positions
+            has_sentinel = bias.has_sentinel
+            slopes_scaled = (
+                bias.slopes.astype(jnp.float32)[None, :]
+                * scales.reshape(self.depth, -1)
+            )  # (depth, H) via broadcast when scales are all-ones (H dim 1)
+            slopes_scaled = jnp.broadcast_to(
+                slopes_scaled, (self.depth, bias.slopes.shape[0])
+            )
+
+        remat_block = self.remat and c.remat_scope == "block"
+        block_module = AltBlock(
+            cfg=c, dtype=self.dtype,
+            remat_mlp=self.remat and not remat_block,
+        )
+
+        def block_apply_mb(p_l, xl, slope_l, pos_c, pm_c, rate, key):
+            if no_dp:
+                rate = 0.0
+            ab = None
+            if slope_l is not None:
+                ab = AlibiSpec(
+                    slopes=slope_l, positions=pos_c, has_sentinel=has_sentinel
+                )
+            rngs = {"dropout": key} if key is not None else None
+            return block_module.apply(
+                {"params": p_l}, xl, pm_c, ab, rate, deterministic, rngs=rngs
+            )
+
+        return pipeline_blocks(
+            block_apply_mb,
+            stacked,
+            x,
+            dpr,
+            slopes_scaled,
+            positions,
+            padding_mask,
+            mesh=mesh,
+            n_micro=self.pipeline_microbatches,
+            dropout_keys=dropout_keys,
+            layerdrop_keys=layerdrop_keys,
+            layerdrop=self.layerdrop if not deterministic else 0.0,
+            tap_reduce=tap_reduce,
+            tap_weights=tap_weights if tap_reduce is not None else None,
+            remat=remat_block,
+        )
 
 
 def top_k_tap_average(taps, keeps, k: int):

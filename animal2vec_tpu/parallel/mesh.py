@@ -34,17 +34,24 @@ def build_mesh(
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     mp = cfg.model_parallel if cfg else 1
+    pp = getattr(cfg, "pipeline_parallel", 1) if cfg else 1
     dp = cfg.data_parallel if cfg else -1
     if dp == -1:
-        dp = n // mp
-    if dp * mp > n:
+        dp = n // (mp * pp)
+    if dp * mp * pp > n:
         raise ValueError(
-            f"mesh data={dp} x model={mp} needs {dp * mp} devices but only "
+            f"mesh data={dp} x stage={pp} x model={mp} needs {dp * mp * pp} "
+            f"devices but only "
             f"{n} are visible ({[getattr(d, 'platform', d) for d in devices[:4]]}...). "
             "On a single-chip host, force a virtual CPU mesh first: set "
             "JAX_PLATFORMS=cpu and XLA_FLAGS=--xla_force_host_platform_device_count=N "
             "before jax initializes (see tests/conftest.py / __graft_entry__._force_virtual_cpu)."
         )
+    if pp > 1:
+        # "stage" between data and model: tp stays innermost (ICI-nearest),
+        # pipeline ppermute traffic crosses the middle axis once per chunk
+        arr = np.asarray(devices[: dp * pp * mp]).reshape(dp, pp, mp)
+        return Mesh(arr, ("data", "stage", "model"))
     arr = np.asarray(devices[: dp * mp]).reshape(dp, mp)
     return Mesh(arr, ("data", "model"))
 
@@ -100,7 +107,19 @@ def param_partition_spec(
     """
     mp = mesh.shape["model"]
     dp = mesh.shape["data"]
+    pp = mesh.shape.get("stage", 1)
     spec: list = [None] * len(shape)
+
+    # pipelined trunk: every stacked-block leaf (kernels, biases, norm
+    # scales — all carry the depth axis) shards depth over "stage"
+    if (
+        pp > 1
+        and "blocks" in path
+        and "block" in path
+        and shape
+        and shape[0] % pp == 0
+    ):
+        spec[0] = "stage"
 
     is_kernel = path and path[-1] == "kernel" and len(shape) >= 2
     leaf_parent = path[-2] if len(path) >= 2 else ""

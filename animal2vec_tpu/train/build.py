@@ -28,8 +28,20 @@ def compute_dtype(cfg: Config):
     return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[cfg.common.compute_dtype]
 
 
+def _with_pipeline(mcfg: ModelConfig, cfg: Config) -> ModelConfig:
+    """Copy distributed.pipeline_parallel into the model's pipeline_stages
+    so one knob configures both the mesh axis and the trunk schedule."""
+    pp = cfg.distributed.pipeline_parallel
+    if pp > 1 and mcfg.pipeline_stages == 1:
+        mcfg = copy.deepcopy(mcfg)
+        mcfg.pipeline_stages = pp
+    return mcfg
+
+
 def build_pretrain_model(cfg: Config) -> Data2VecMulti:
-    return Data2VecMulti(cfg=cfg.model, dtype=compute_dtype(cfg))
+    return Data2VecMulti(
+        cfg=_with_pipeline(cfg.model, cfg), dtype=compute_dtype(cfg)
+    )
 
 
 def build_finetune_encoder_cfg(pre: ModelConfig, ft: FinetuneModelConfig) -> ModelConfig:
@@ -65,7 +77,8 @@ def build_finetune_model(cfg: Config) -> FinetuneModel:
     assert cfg.finetune is not None, "config has no finetune section"
     enc_cfg = build_finetune_encoder_cfg(cfg.model, cfg.finetune)
     return FinetuneModel(
-        cfg=cfg.finetune, encoder_cfg=enc_cfg, dtype=compute_dtype(cfg)
+        cfg=cfg.finetune, encoder_cfg=_with_pipeline(enc_cfg, cfg),
+        dtype=compute_dtype(cfg),
     )
 
 
