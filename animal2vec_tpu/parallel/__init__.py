@@ -5,3 +5,8 @@ from animal2vec_tpu.parallel.mesh import (
     param_partition_spec,
     replicated,
 )
+from animal2vec_tpu.parallel.pipeline import (
+    active_mesh,
+    pick_microbatches,
+    pipeline_blocks,
+)
