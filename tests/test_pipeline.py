@@ -159,6 +159,34 @@ class TestPipelineEquivalence:
         assert set(np.unique(np.asarray(keeps))) <= {0.0, 1.0}
 
 
+class TestPipelinedTrainLoop:
+    def test_run_pretrain_pipelined(self, tmp_path):
+        """The real training loop (loader -> sharded step -> checkpoint)
+        with distributed.pipeline_parallel=2: proves the CLI-reachable path,
+        not just the module. dp=mp=1 keeps the 1-core CPU cost down."""
+        from animal2vec_tpu.data.synthetic import generate
+        from animal2vec_tpu.train.loop import run_pretrain
+        from tests.test_e2e import e2e_config
+
+        root = str(tmp_path / "data")
+        generate(root, n_clips=4, clip_seconds=1.0, seed=1)
+        cfg = e2e_config(root, str(tmp_path / "ckpt"))
+        cfg.task.with_labels = False
+        cfg.dataset.train_subset = "pretrain"
+        cfg.dataset.disable_validation = True
+        cfg.model.depth = 4  # divisible by the 2 stages
+        cfg.model.clone_batch = 2
+        cfg.distributed = DistributedConfig(
+            data_parallel=1, model_parallel=1, pipeline_parallel=2
+        )
+        from animal2vec_tpu.config import resolve
+
+        cfg = resolve(cfg)
+        out = run_pretrain(cfg, max_steps=2)
+        assert np.isfinite(out["train/loss"])
+        assert out["train/target_var"] > 0.01
+
+
 class TestPipelinePartitionSpecs:
     def test_stage_axis_on_block_params(self):
         from animal2vec_tpu.parallel.mesh import param_partition_spec
