@@ -159,6 +159,43 @@ class TestPipelineEquivalence:
         assert set(np.unique(np.asarray(keeps))) <= {0.0, 1.0}
 
 
+class TestPipelineImageModality:
+    def test_image_forward_matches_scan(self):
+        # IMAGE trunk runs bias=None (no alibi by default) -> pipelined
+        extra = [
+            "model.supported_modality=IMAGE",
+            "model.modalities.image.input_size=32",
+            "model.modalities.image.patch_size=8",
+        ]
+        mesh, pipelined, plain = _models(dp=2, pp=2, mp=2, extra=extra)
+        rng = jax.random.PRNGKey(0)
+        src = jnp.asarray(
+            np.random.default_rng(0).normal(size=(4, 32, 32, 3)).astype(np.float32)
+        )
+        params = plain.init({"params": rng}, src, "IMAGE")["params"]
+
+        def f(model):
+            M = type(model)
+            def g(p, s):
+                local = model.apply({"params": p}, s, "IMAGE", method=M.local_features)
+                x, taps, _, _ = model.apply(
+                    {"params": p}, local, "IMAGE", None, False, None, None,
+                    True, True, False, method=M.encode,
+                )
+                return x, taps
+            return jax.jit(g)
+
+        x0, t0 = f(plain)(params, src)
+        with mesh:
+            x1, t1 = f(pipelined)(params, src)
+        np.testing.assert_allclose(
+            np.asarray(x0, np.float32), np.asarray(x1, np.float32), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(t0, np.float32), np.asarray(t1, np.float32), atol=2e-5
+        )
+
+
 class TestPipelinedTrainLoop:
     def test_run_pretrain_pipelined(self, tmp_path):
         """The real training loop (loader -> sharded step -> checkpoint)
