@@ -343,6 +343,10 @@ class ModelConfig:
     # keeps its flash residuals; ~15-20% faster step); "block": recompute
     # whole blocks (smallest memory footprint)
     remat_scope: str = "mlp"
+    # rematerialize the conv frontend (sinc + feature stack) in the backward:
+    # its wav-rate activations (~80k samples deep) are large autodiff
+    # residuals but cheap to recompute (<8% of step FLOPs)
+    remat_frontend: bool = False
     # >1 pipelines the trunk over a "stage" mesh axis (parallel/pipeline.py);
     # set via distributed.pipeline_parallel, copied in by the model builders
     pipeline_stages: int = 1

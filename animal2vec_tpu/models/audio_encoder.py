@@ -72,13 +72,21 @@ class AudioEncoder(nn.Module):
     embed_dim: int
     block_cfg: BlockConfig
     remat: bool = False
+    remat_frontend: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
         conv_layers = [tuple(x) for x in parse_pylist(self.cfg.conv_feature_layers)]
         self._conv_layers = conv_layers
         feature_dim = conv_layers[-1][0]
-        self.local_encoder = ConvFeatureExtractor(
+        fe_cls = ConvFeatureExtractor
+        if self.remat_frontend:
+            # recompute the wav-rate conv activations in the backward instead
+            # of saving them (deterministic is static arg 2)
+            fe_cls = nn.remat(
+                ConvFeatureExtractor, static_argnums=(2,), prevent_cse=False
+            )
+        self.local_encoder = fe_cls(
             conv_layers=conv_layers,
             mode=self.cfg.extractor_mode,
             conv_bias=False,
@@ -155,7 +163,7 @@ class AudioEncoder(nn.Module):
         """(B, T_wav) -> (B, T_feat, embed): conv stack + fp32-LN + linear
         projection, with frontend gradient scaling
         (nn/modalities/base.py:194-213, audio.py:83-88)."""
-        x = self.local_encoder(source, deterministic=deterministic)
+        x = self.local_encoder(source, deterministic)
         x = grad_multiply(x, self.cfg.local_grad_mult)
         x = self.project_norm(x)
         x = self.project_linear(x)

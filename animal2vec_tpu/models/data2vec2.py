@@ -91,6 +91,7 @@ class Data2VecMulti(nn.Module):
                 embed_dim=cfg.embed_dim,
                 block_cfg=bc,
                 remat=cfg.remat,
+                remat_frontend=cfg.remat_frontend,
                 dtype=self.dtype,
             )
         if "IMAGE" in mods:

@@ -97,11 +97,7 @@ def _kernel(
     pos_k_ref,  # VMEM (1, 1, bk) int32
     mask_ref,   # VMEM (1, 1, bk) int32 (1 = masked/pad)
     o_ref,      # VMEM (1, 1, bq, d)
-    lse_ref,    # VMEM (1, 1, bq) f32: m + log(l), saved for the backward
-    m_scr,      # VMEM (bq, 1) f32
-    l_scr,      # VMEM (bq, 1) f32
-    acc_scr,    # VMEM (bq, d) f32
-    *,
+    *rest,      # [lse_ref (1, 1, bq) f32 when save_lse] + m/l/acc scratch
     sm_scale: float,
     n_heads: int,
     n_k: int,
@@ -110,7 +106,14 @@ def _kernel(
     has_sentinel: bool,
     has_mask: bool,
     dropout_rate: float,
+    save_lse: bool = True,
 ):
+    if save_lse:
+        # lse = m + log(l), the residual the Pallas backward recomputes score
+        # tiles from; inference (custom_vjp primal) skips the output entirely
+        lse_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        m_scr, l_scr, acc_scr = rest
     ki = pl.program_id(3)
 
     @pl.when(ki == 0)
@@ -169,7 +172,8 @@ def _kernel(
     def _finish():
         l = jnp.maximum(l_scr[...], 1e-30)
         o_ref[0, 0] = (acc_scr[...] / l).astype(o_ref.dtype)
-        lse_ref[0, 0] = (m_scr[...] + jnp.log(l))[:, 0]
+        if save_lse:
+            lse_ref[0, 0] = (m_scr[...] + jnp.log(l))[:, 0]
 
 
 def _pallas_forward(
@@ -186,11 +190,14 @@ def _pallas_forward(
     dropout_rate: float = 0.0,
     seed: Optional[jnp.ndarray] = None,
     positions_k: Optional[jnp.ndarray] = None,
+    save_lse: bool = True,
 ):
     """Returns (out, lse) with out in the input layout and lse (B, H, T_pad)
-    fp32 (consumed by the Pallas backward). ``positions_k`` (B, T) lets the
-    key positions differ from the query positions (ring attention passes a
-    rotating global key-block offset); defaults to ``positions``."""
+    fp32 (consumed by the Pallas backward), or (out, None) with
+    ``save_lse=False`` (inference: no residual write). ``positions_k``
+    (B, T) lets the key positions differ from the query positions (ring
+    attention passes a rotating global key-block offset); defaults to
+    ``positions``."""
     if bhtd_layout:
         b, h, t, d = q.shape
     else:
@@ -241,7 +248,20 @@ def _pallas_forward(
     seed_arr = (
         jnp.zeros((1,), jnp.int32) if seed is None else seed.reshape(1).astype(jnp.int32)
     )
-    out, lse = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((b, h, t_pad, d), dtype)]
+    if save_lse:
+        # (B*H, 1, T) layout: block (1, 1, bq) satisfies the TPU tiling
+        # rule (second-to-last block dim == full array dim)
+        out_specs.append(
+            pl.BlockSpec(
+                (1, 1, block_q), lambda bi, hi, qi, ki, n_h=h: (bi * n_h + hi, 0, qi)
+            )
+        )
+        out_shape.append(jax.ShapeDtypeStruct((b * h, 1, t_pad), jnp.float32))
+    outs = pl.pallas_call(
         functools.partial(
             _kernel,
             sm_scale=d**-0.5,
@@ -252,6 +272,7 @@ def _pallas_forward(
             has_sentinel=has_sentinel,
             has_mask=mask_needed,
             dropout_rate=dropout_rate,
+            save_lse=save_lse,
         ),
         grid=grid,
         in_specs=[
@@ -264,18 +285,8 @@ def _pallas_forward(
             pl.BlockSpec((1, 1, block_k), lambda bi, hi, qi, ki: (bi, 0, ki)),
             pl.BlockSpec((1, 1, block_k), lambda bi, hi, qi, ki: (bi, 0, ki)),
         ],
-        out_specs=[
-            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
-            # (B*H, 1, T) layout: block (1, 1, bq) satisfies the TPU tiling
-            # rule (second-to-last block dim == full array dim)
-            pl.BlockSpec(
-                (1, 1, block_q), lambda bi, hi, qi, ki, n_h=h: (bi * n_h + hi, 0, qi)
-            ),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, h, t_pad, d), dtype),
-            jax.ShapeDtypeStruct((b * h, 1, t_pad), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -286,7 +297,8 @@ def _pallas_forward(
         ),
         interpret=interpret,
     )(slope_arr, seed_arr, qp, kp, vp, pos, pos_k, mask)
-    lse = lse.reshape(b, h, t_pad)
+    out = outs[0]
+    lse = outs[1].reshape(b, h, t_pad) if save_lse else None
     if bhtd_layout:
         return out[:, :, :t], lse  # (B, H, T, D)
     return jnp.swapaxes(out, 1, 2)[:, :t], lse
@@ -625,7 +637,7 @@ def alibi_flash_attention(
     if use_pallas:
         out, _ = _pallas_forward(
             q, k, v, slopes, positions, padding_mask,
-            has_sentinel=has_sentinel, dropout_rate=dropout_rate, seed=seed,
+            has_sentinel=has_sentinel, dropout_rate=dropout_rate, seed=seed, save_lse=False,
         )
         return out
     return _reference_attention(
@@ -678,10 +690,12 @@ def _pallas_forward_packed(
     has_sentinel: bool = True,
     dropout_rate: float = 0.0,
     seed: Optional[jnp.ndarray] = None,
+    save_lse: bool = True,
 ):
     """Packed-qkv kernel entry: the q/k/v blocks are sliced out of the single
     (3, B, H, T, D) projection output by BlockSpec index maps — no unpack
-    copy, one pad instead of three. Returns (out, lse)."""
+    copy, one pad instead of three. Returns (out, lse) — lse None with
+    ``save_lse=False`` (inference)."""
     _, b, h, t, d = qkv.shape
     dtype = qkv.dtype
     block_q = min(block_q, _ceil_to(t, 128))
@@ -711,12 +725,25 @@ def _pallas_forward_packed(
     )
     interpret = jax.default_backend() != "tpu"
 
-    out, lse = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((b, h, t_pad, d), dtype)]
+    if save_lse:
+        # (B*H, 1, T) layout: block (1, 1, bq) satisfies the TPU tiling
+        # rule (second-to-last block dim == full array dim)
+        out_specs.append(
+            pl.BlockSpec(
+                (1, 1, block_q), lambda bi, hi, qi, ki, n_h=h: (bi * n_h + hi, 0, qi)
+            )
+        )
+        out_shape.append(jax.ShapeDtypeStruct((b * h, 1, t_pad), jnp.float32))
+    outs = pl.pallas_call(
         functools.partial(
             _kernel,
             sm_scale=d**-0.5, n_heads=h, n_k=n_k, block_q=block_q,
             block_k=block_k, has_sentinel=has_sentinel, has_mask=mask_needed,
-            dropout_rate=dropout_rate,
+            dropout_rate=dropout_rate, save_lse=save_lse,
         ),
         grid=(b, h, n_q, n_k),
         in_specs=[
@@ -729,18 +756,8 @@ def _pallas_forward_packed(
             pl.BlockSpec((1, 1, block_k), lambda bi, hi, qi, ki: (bi, 0, ki)),
             pl.BlockSpec((1, 1, block_k), lambda bi, hi, qi, ki: (bi, 0, ki)),
         ],
-        out_specs=[
-            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
-            # (B*H, 1, T) layout: block (1, 1, bq) satisfies the TPU tiling
-            # rule (second-to-last block dim == full array dim)
-            pl.BlockSpec(
-                (1, 1, block_q), lambda bi, hi, qi, ki, n_h=h: (bi * n_h + hi, 0, qi)
-            ),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, h, t_pad, d), dtype),
-            jax.ShapeDtypeStruct((b * h, 1, t_pad), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -751,7 +768,9 @@ def _pallas_forward_packed(
         ),
         interpret=interpret,
     )(slope_arr, seed_arr, qkv, qkv, qkv, pos, pos, mask)
-    return out[:, :, :t], lse.reshape(b, h, t_pad)
+    out = outs[0]
+    lse = outs[1].reshape(b, h, t_pad) if save_lse else None
+    return out[:, :, :t], lse
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -762,7 +781,7 @@ def alibi_flash_attention_packed(qkv, slopes, positions, padding_mask,
     the Pallas flash backward kernels on the unpacked slices."""
     out, _ = _pallas_forward_packed(
         qkv, slopes, positions, padding_mask,
-        has_sentinel=has_sentinel, dropout_rate=dropout_rate, seed=seed,
+        has_sentinel=has_sentinel, dropout_rate=dropout_rate, seed=seed, save_lse=False,
     )
     return out
 
@@ -819,7 +838,7 @@ def alibi_flash_attention_btc(qkv_btc, heads: int, slopes, positions,
     b, t, c3 = qkv_btc.shape
     out, _ = _pallas_forward_packed(
         _btc_to_packed(qkv_btc, heads), slopes, positions, padding_mask,
-        has_sentinel=has_sentinel, dropout_rate=dropout_rate, seed=seed,
+        has_sentinel=has_sentinel, dropout_rate=dropout_rate, seed=seed, save_lse=False,
     )  # (B, H, T, E)
     return jnp.swapaxes(out, 1, 2).reshape(b, t, c3 // 3)
 
@@ -871,7 +890,7 @@ def alibi_flash_attention_bhtd(q, k, v, slopes, positions, padding_mask,
     out, _ = _pallas_forward(
         q, k, v, slopes, positions, padding_mask,
         has_sentinel=has_sentinel, bhtd_layout=True,
-        dropout_rate=dropout_rate, seed=seed,
+        dropout_rate=dropout_rate, seed=seed, save_lse=False,
     )
     return out
 

@@ -126,6 +126,8 @@ def main_pretrain():
     # (docs/PERF.md "training throughput")
     if os.environ.get("A2V_BENCH_REMAT"):
         overrides.append(f"model.remat_scope={os.environ['A2V_BENCH_REMAT']}")
+    if os.environ.get("A2V_BENCH_REMAT_FRONTEND"):
+        overrides.append("model.remat_frontend=true")
     cfg = load_config(
         os.path.join(here, "animal2vec_tpu/configs/a2v_large_pretrain.yaml"),
         overrides=overrides,
