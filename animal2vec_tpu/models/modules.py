@@ -709,17 +709,34 @@ def conv1d_same(
     stride: int = 1,
     groups: int = 1,
     pad: Optional[Tuple[int, int]] = None,
+    lane_pack: bool = True,
 ) -> jnp.ndarray:
     """Grouped 1-D conv on (B, T, C) with explicit padding.
 
     kernel: (K, C_in/groups, C_out). pad defaults to torch 'same' for
     stride 1 and ceil(stride/2) otherwise (ops/conv_arith.py).
+
+    lane_pack: when the per-group channel width is 64 (half a TPU lane
+    tile), fuse group pairs into 128-wide super-groups via a block-diagonal
+    kernel — exact same result, but the activations XLA stores around the
+    conv (and saves as autodiff residuals) lose their 2x lane padding
+    (docs/PERF.md round-2 follow-ups). The parameter shape is unchanged.
     """
-    from animal2vec_tpu.ops.conv_arith import same_pad_1d, strided_pad_1d
+    from animal2vec_tpu.ops.conv_arith import (
+        expand_grouped_kernel,
+        lane_pack_factor,
+        same_pad_1d,
+        strided_pad_1d,
+    )
 
     k = kernel.shape[0]
     if pad is None:
         pad = same_pad_1d(k) if stride == 1 else strided_pad_1d(stride)
+    if lane_pack and groups > 1:
+        p = lane_pack_factor(groups, kernel.shape[1])
+        if p > 1:
+            kernel = expand_grouped_kernel(kernel, groups, p)
+            groups = groups // p
     out = jax.lax.conv_general_dilated(
         x,
         kernel,

@@ -80,3 +80,42 @@ def feature_lengths_per_layer(
             length = conv_out_length(length, k, s, strided_pad_1d(s))
         out.append(length)
     return out
+
+
+def lane_pack_factor(groups: int, cin_per_group: int, max_pack: int = 2) -> int:
+    """Smallest divisor ``p`` of ``groups`` (capped at ``max_pack``) that
+    makes ``cin_per_group * p`` a multiple of 128.
+
+    TPU Mosaic tiles the trailing (lane) dim to 128: XLA stores grouped-conv
+    activations as (..., G, C/G), so C/G = 64 buffers occupy 2x their logical
+    HBM (the dominant a2v-large pretrain residuals — see docs/PERF.md). Fusing
+    ``p`` adjacent groups into one lane-dense super-group via a block-diagonal
+    kernel (expand_grouped_kernel) removes the padding at ``p``x the conv
+    FLOPs — worthwhile when the padded compute was idling the same factor
+    anyway (p=2 for 64-wide groups)."""
+    if groups <= 1 or cin_per_group % 128 == 0:
+        return 1
+    for p in range(2, min(groups, max_pack) + 1):
+        if groups % p == 0 and (cin_per_group * p) % 128 == 0:
+            return p
+    return 1
+
+
+def expand_grouped_kernel(kernel, groups: int, pack: int):
+    """(K, C_in/G, C_out) grouped-conv kernel -> block-diagonal
+    (K, C_in/G * pack, C_out) kernel for feature_group_count = G/pack.
+
+    Exact: original group ``g`` sits at offset ``(g % pack) * cin_g`` inside
+    super-group ``g // pack``; all other blocks are zero. The expansion is
+    loop-invariant, so XLA hoists it out of scan/step loops."""
+    import jax.numpy as jnp
+
+    if pack == 1:
+        return kernel
+    k, cin_g, cout = kernel.shape
+    s = groups // pack
+    cout_g = cout // groups
+    old = kernel.reshape(k, cin_g, s, pack, cout_g)
+    eye = jnp.eye(pack, dtype=kernel.dtype)
+    new = jnp.einsum("ab,kcsbo->kacsbo", eye, old)
+    return new.reshape(k, pack * cin_g, cout)

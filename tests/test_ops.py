@@ -423,3 +423,53 @@ class TestConvMM:
         got = conv1d_mm(x, kern, bias, s, pad)
         assert got.shape == ref.shape
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
+class TestLanePackedGroupedConv:
+    """lane_pack fuses 64-wide conv groups into 128-wide super-groups via a
+    block-diagonal kernel (ops/conv_arith.expand_grouped_kernel) — must be
+    numerically identical to the plain grouped conv for every shipped shape
+    (pos-conv 1024/16, decoder 768/16, tiny test configs)."""
+
+    @pytest.mark.parametrize(
+        "groups,cin_g,cout,k,stride",
+        [
+            (16, 64, 1024, 19, 1),   # a2v-large pos conv (packs 2 -> G=8)
+            (16, 48, 768, 7, 1),     # decoder (48*2 % 128 != 0 -> no pack)
+            (2, 64, 128, 3, 1),      # tiny config pos conv
+            (8, 64, 512, 5, 1),
+        ],
+    )
+    def test_matches_plain_grouped_conv(self, groups, cin_g, cout, k, stride):
+        from animal2vec_tpu.models.modules import conv1d_same
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(2, 41, groups * cin_g)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(k, cin_g, cout)).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=(cout,)).astype(np.float32))
+        y0 = conv1d_same(x, w, b, stride, groups, lane_pack=False)
+        y1 = conv1d_same(x, w, b, stride, groups, lane_pack=True)
+        np.testing.assert_allclose(
+            np.asarray(y0), np.asarray(y1), rtol=2e-6, atol=2e-4
+        )
+
+    def test_pack_factor_policy(self):
+        from animal2vec_tpu.ops.conv_arith import lane_pack_factor
+
+        assert lane_pack_factor(16, 64) == 2     # 64 * 2 = 128
+        assert lane_pack_factor(16, 48) == 1     # 96 not a lane multiple
+        assert lane_pack_factor(16, 128) == 1    # already dense
+        assert lane_pack_factor(1, 64) == 1      # dense conv untouched
+        assert lane_pack_factor(3, 64) == 1      # 2 does not divide 3
+
+    def test_expand_kernel_block_structure(self):
+        from animal2vec_tpu.ops.conv_arith import expand_grouped_kernel
+
+        k = jnp.asarray(np.random.default_rng(1).normal(size=(3, 64, 256)))
+        e = expand_grouped_kernel(k, groups=4, pack=2)
+        assert e.shape == (3, 128, 256)
+        # group 0 (out 0:64) reads rows 0:64; group 1 (out 64:128) rows 64:128
+        np.testing.assert_array_equal(np.asarray(e[:, :64, :64]), np.asarray(k[:, :, :64]))
+        assert not np.asarray(e[:, 64:, :64]).any()
+        np.testing.assert_array_equal(np.asarray(e[:, 64:, 64:128]), np.asarray(k[:, :, 64:128]))
+        assert not np.asarray(e[:, :64, 64:128]).any()
