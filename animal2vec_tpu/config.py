@@ -149,6 +149,11 @@ class DecoderConfig:
     decoder_residual: bool = True
     projection_layers: int = 1
     projection_ratio: float = 2.0
+    # max lane-dense group-packing factor for the decoder convs
+    # (ops/conv_arith.lane_pack_factor): 48-wide groups need 8 to go
+    # lane-exact — ~8x those convs' FLOPs for unpadded (2.7x smaller)
+    # activations/residuals; raise under training HBM pressure
+    lane_pack_max: int = 2
 
 
 @dataclass

@@ -127,6 +127,7 @@ class AudioEncoder(nn.Module):
                 decoder_residual=d.decoder_residual,
                 projection_layers=d.projection_layers,
                 projection_ratio=d.projection_ratio,
+                lane_pack_max=d.lane_pack_max,
                 dtype=self.dtype,
             )
         else:

@@ -137,6 +137,7 @@ class Data2VecMulti(nn.Module):
                 decoder_residual=d.decoder_residual,
                 projection_layers=d.projection_layers,
                 projection_ratio=d.projection_ratio,
+                lane_pack_max=d.lane_pack_max,
                 dtype=self.dtype,
             )
         else:

@@ -710,6 +710,7 @@ def conv1d_same(
     groups: int = 1,
     pad: Optional[Tuple[int, int]] = None,
     lane_pack: bool = True,
+    lane_pack_max: int = 2,
 ) -> jnp.ndarray:
     """Grouped 1-D conv on (B, T, C) with explicit padding.
 
@@ -733,7 +734,7 @@ def conv1d_same(
     if pad is None:
         pad = same_pad_1d(k) if stride == 1 else strided_pad_1d(stride)
     if lane_pack and groups > 1:
-        p = lane_pack_factor(groups, kernel.shape[1])
+        p = lane_pack_factor(groups, kernel.shape[1], max_pack=lane_pack_max)
         if p > 1:
             kernel = expand_grouped_kernel(kernel, groups, p)
             groups = groups // p
@@ -758,6 +759,10 @@ class Conv1dBlockNorm(nn.Module):
     kernel: int
     groups: int
     dtype: Any = jnp.float32
+    # decoder groups are 48-wide (768/16): lane-exact packing needs 8x the
+    # conv FLOPs (~+1.3 ms/layer on v5e) but stores activations/residuals
+    # unpadded instead of 2.7x-padded — a net win under training HBM pressure
+    lane_pack_max: int = 2
 
     @nn.compact
     def __call__(self, x):
@@ -774,7 +779,8 @@ class Conv1dBlockNorm(nn.Module):
         k = self.kernel
         pad = (k // 2, k // 2 - (1 if k % 2 == 0 else 0))
         y = conv1d_same(
-            x, kern.astype(self.dtype), bias.astype(self.dtype), 1, self.groups, pad=pad
+            x, kern.astype(self.dtype), bias.astype(self.dtype), 1, self.groups,
+            pad=pad, lane_pack_max=self.lane_pack_max,
         )
         y = Fp32LayerNorm(use_affine=False, name="norm")(y)
         return nn.gelu(y, approximate=False)
@@ -792,6 +798,7 @@ class Decoder1d(nn.Module):
     decoder_residual: bool = True
     projection_layers: int = 1
     projection_ratio: float = 2.0
+    lane_pack_max: int = 2
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -803,6 +810,7 @@ class Decoder1d(nn.Module):
                 kernel=self.decoder_kernel,
                 groups=self.decoder_groups,
                 dtype=self.dtype,
+                lane_pack_max=self.lane_pack_max,
                 name=f"blocks_{i}",
             )(x)
             if self.decoder_residual and residual.shape[-1] == y.shape[-1]:

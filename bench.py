@@ -128,6 +128,11 @@ def main_pretrain():
         overrides.append(f"model.remat_scope={os.environ['A2V_BENCH_REMAT']}")
     if os.environ.get("A2V_BENCH_REMAT_FRONTEND"):
         overrides.append("model.remat_frontend=true")
+    if os.environ.get("A2V_BENCH_DECODER_PACK"):
+        overrides.append(
+            "model.modalities.audio.decoder.lane_pack_max="
+            f"{os.environ['A2V_BENCH_DECODER_PACK']}"
+        )
     cfg = load_config(
         os.path.join(here, "animal2vec_tpu/configs/a2v_large_pretrain.yaml"),
         overrides=overrides,
@@ -183,15 +188,18 @@ def main_finetune():
     from animal2vec_tpu.train.finetune_step import make_finetune_train_step
 
     here = os.path.dirname(os.path.abspath(__file__))
+    overrides = [
+        "finetune.w2v_path=",
+        "common.compute_dtype=bfloat16",
+        "optimization.update_freq=1",
+    ]
+    if os.environ.get("A2V_BENCH_REMAT"):
+        overrides.append(f"model.remat_scope={os.environ['A2V_BENCH_REMAT']}")
     cfg = load_config(
         os.path.join(here, "animal2vec_tpu/configs/finetune_100.yaml"),
-        overrides=[
-            "finetune.w2v_path=",
-            "common.compute_dtype=bfloat16",
-            "optimization.update_freq=1",
-        ],
+        overrides=overrides,
     )
-    batch = int(os.environ.get("A2V_BENCH_BATCH", "6"))
+    batch = int(os.environ.get("A2V_BENCH_BATCH", "4"))
     wav_len = 80_000
     model, state = init_finetune(
         cfg, jax.random.PRNGKey(0), example_wav_len=wav_len, example_batch=1

@@ -461,6 +461,21 @@ class TestLanePackedGroupedConv:
         assert lane_pack_factor(16, 128) == 1    # already dense
         assert lane_pack_factor(1, 64) == 1      # dense conv untouched
         assert lane_pack_factor(3, 64) == 1      # 2 does not divide 3
+        # decoder opt-in (DecoderConfig.lane_pack_max): 48 * 8 = 384 = 3*128
+        assert lane_pack_factor(16, 48, max_pack=16) == 8
+
+    def test_decoder_pack8_matches_plain(self):
+        from animal2vec_tpu.models.modules import conv1d_same
+
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.normal(size=(2, 41, 768)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(7, 48, 768)).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=(768,)).astype(np.float32))
+        y0 = conv1d_same(x, w, b, 1, 16, lane_pack=False)
+        y8 = conv1d_same(x, w, b, 1, 16, lane_pack=True, lane_pack_max=16)
+        np.testing.assert_allclose(
+            np.asarray(y0), np.asarray(y8), rtol=2e-6, atol=2e-4
+        )
 
     def test_expand_kernel_block_structure(self):
         from animal2vec_tpu.ops.conv_arith import expand_grouped_kernel
