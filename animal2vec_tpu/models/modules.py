@@ -738,14 +738,21 @@ def conv1d_same(
         if p > 1:
             kernel = expand_grouped_kernel(kernel, groups, p)
             groups = groups // p
-    out = jax.lax.conv_general_dilated(
-        x,
-        kernel,
-        window_strides=(stride,),
-        padding=[pad],
-        dimension_numbers=("NHC", "HIO", "NHC"),
-        feature_group_count=groups,
-    )
+    from animal2vec_tpu.ops.grouped_conv import _needs_safe_dw, grouped_conv1d
+
+    if groups > 1 and _needs_safe_dw():
+        # custom dW: XLA GSPMD over-reduces grouped-conv weight grads on
+        # multi-axis meshes (ops/grouped_conv.py)
+        out = grouped_conv1d(x, kernel, stride, pad, groups)
+    else:
+        out = jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(stride,),
+            padding=[pad],
+            dimension_numbers=("NHC", "HIO", "NHC"),
+            feature_group_count=groups,
+        )
     if bias is not None:
         out = out + bias
     return out
@@ -850,14 +857,19 @@ class Conv2dBlockNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.out_dim,), jnp.float32)
         k = self.kernel
         pad = (k // 2, k // 2 - (1 if k % 2 == 0 else 0))
-        y = jax.lax.conv_general_dilated(
-            x,
-            kern.astype(self.dtype),
-            window_strides=(1, 1),
-            padding=[pad, pad],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=self.groups,
-        ) + bias
+        from animal2vec_tpu.ops.grouped_conv import _needs_safe_dw, grouped_conv2d
+
+        if self.groups > 1 and _needs_safe_dw():
+            y = grouped_conv2d(x, kern.astype(self.dtype), pad, self.groups) + bias
+        else:
+            y = jax.lax.conv_general_dilated(
+                x,
+                kern.astype(self.dtype),
+                window_strides=(1, 1),
+                padding=[pad, pad],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=self.groups,
+            ) + bias
         y = Fp32LayerNorm(use_affine=False, name="norm")(y)
         return nn.gelu(y, approximate=False)
 

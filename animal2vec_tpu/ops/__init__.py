@@ -20,6 +20,7 @@ from animal2vec_tpu.ops.masking import (
     expected_span_mask_tokens,
     block_mask_2d,
 )
+from animal2vec_tpu.ops.grouped_conv import grouped_conv1d, grouped_conv2d
 from animal2vec_tpu.ops.mixup import a_weighting_table, compute_gain, bc_mixup
 from animal2vec_tpu.ops.stats import (
     confusion_counts,

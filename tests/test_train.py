@@ -291,6 +291,54 @@ class TestShardedStep:
         assert np.isfinite(float(metrics["loss"]))
         assert int(state2.step) == 1
 
+    def test_sharded_step_matches_unsharded(self):
+        """Full pretrain step on the dp4 x tp2 mesh vs single-device: loss
+        and updated params must agree. (Consistency check; the GSPMD
+        grouped-conv dW over-reduction is regression-tested at the grad
+        level in tests/test_grouped_conv.py — Adam's scale invariance makes
+        it invisible at the params level.)"""
+        from animal2vec_tpu.parallel import build_mesh, param_sharding
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        cfg = tiny_config()
+        model, state = init_pretrain(cfg, jax.random.PRNGKey(0), example_wav_len=800)
+        batch = synth_batch(np.random.default_rng(0), b=4, accum=1)
+        key = jax.random.PRNGKey(7)
+
+        step_fn = make_pretrain_train_step(model, cfg)
+        ref_state, ref_metrics = jax.jit(step_fn)(state, batch, key)
+
+        cfg_sh = tiny_config()
+        cfg_sh.distributed = DistributedConfig(data_parallel=4, model_parallel=2)
+        mesh = build_mesh(cfg_sh.distributed)
+        state_sh = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, NamedSharding(mesh, P())), state
+        )
+        shardings = param_sharding(state.params, mesh, fsdp=False)
+        params_sh = jax.tree_util.tree_map(jax.device_put, state.params, shardings)
+        state_sh = state_sh.replace(params=params_sh)
+        batch_sh = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, NamedSharding(mesh, P(None, "data"))), batch
+        )
+        with mesh:
+            new_state, metrics = jax.jit(make_pretrain_train_step(model, cfg_sh))(
+                state_sh, batch_sh, key
+            )
+
+        np.testing.assert_allclose(
+            float(metrics["loss"]), float(ref_metrics["loss"]), rtol=2e-4
+        )
+        ref_flat = tu.flatten_dict(ref_state.params)
+        new_flat = tu.flatten_dict(jax.device_get(new_state.params))
+        for k in ref_flat:
+            np.testing.assert_allclose(
+                np.asarray(new_flat[k]),
+                np.asarray(ref_flat[k]),
+                rtol=5e-3,
+                atol=5e-4,
+                err_msg=f"param {k} diverged between sharded and unsharded step",
+            )
+
     def test_tp_partition_specs(self):
         from animal2vec_tpu.parallel import build_mesh
         from animal2vec_tpu.parallel.mesh import param_partition_spec
