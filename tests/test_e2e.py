@@ -176,6 +176,30 @@ class TestInferCLI:
             assert 0 <= ev["likelihood"] <= 1
 
 
+class TestAotCLI:
+    def test_bundle_export_and_serve(self, trained_ckpt, tmp_path):
+        from animal2vec_tpu.config import save_config
+        from animal2vec_tpu.serve import ServingBundle
+        from animal2vec_tpu.tools import aot_cli
+
+        ckpt, cfg, _ = trained_ckpt
+        cfg_path = str(tmp_path / "cfg.yaml")
+        save_config(cfg, cfg_path)
+        out_dir = str(tmp_path / "bundle")
+        rc = aot_cli.main([
+            "--checkpoint", ckpt, "--config", cfg_path, "--out", out_dir,
+            "--batch", "2", "--seconds", "1.0", "--no-bf16",
+            "finetune.w2v_path=",
+        ])
+        assert rc == 0
+        sb = ServingBundle(out_dir)
+        batch = np.random.default_rng(0).normal(size=(2, 8000)).astype(np.float32)
+        probs = np.asarray(sb.predict_probs(batch))
+        n_cls = len(cfg.task.labels())
+        assert probs.shape[0] == 2 and probs.shape[-1] == n_cls
+        assert np.isfinite(probs).all() and (probs >= 0).all() and (probs <= 1).all()
+
+
 class TestExportCLI:
     def test_export_predictions_and_embeddings(self, data_root, trained_ckpt, tmp_path):
         import h5py
