@@ -113,6 +113,22 @@ class TestGroupedConv1d:
         np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-4)
 
 
+class TestSafeDwGate:
+    def test_gate_engages_only_on_multi_axis_meshes(self):
+        from animal2vec_tpu.ops.grouped_conv import _needs_safe_dw
+
+        assert _needs_safe_dw() is False  # no mesh: XLA's fused dW is correct
+        devs = np.asarray(jax.devices())
+        with Mesh(devs.reshape(8), ("data",)):
+            assert _needs_safe_dw() is False  # 1-D data mesh: also correct
+        with Mesh(devs.reshape(8, 1), ("data", "model")):
+            assert _needs_safe_dw() is False  # size-1 axes are harmless
+        with Mesh(devs.reshape(4, 2), ("data", "model")):
+            assert _needs_safe_dw() is True
+        with Mesh(devs.reshape(2, 2, 2), ("data", "stage", "model")):
+            assert _needs_safe_dw() is True
+
+
 class TestGroupedConv2d:
     def test_grads_match_autodiff(self, rng):
         x = jnp.asarray(rng.normal(size=(2, 9, 11, 16)).astype(np.float32))
