@@ -111,8 +111,12 @@ def _gc1_fwd(x, kernel, stride, pad, groups):
 
 def _gc1_bwd(stride, pad, groups, res, dy):
     x, kernel = res
-    _, vjp_x = jax.vjp(lambda xx: _conv1d(xx, kernel, stride, pad, groups), x)
-    (dx,) = vjp_x(dy)
+    # the conv is linear in x: linear_transpose gives dx without re-running
+    # the forward (jax.vjp would execute the primal conv at runtime)
+    transpose = jax.linear_transpose(
+        lambda xx: _conv1d(xx, kernel, stride, pad, groups), x
+    )
+    (dx,) = transpose(dy)
     dw = _dw_taps_1d(x, dy, kernel.shape[0], stride, pad, groups)
     return dx, dw.astype(kernel.dtype)
 
@@ -168,8 +172,10 @@ def _gc2_fwd(x, kernel, pad, groups):
 
 def _gc2_bwd(pad, groups, res, dy):
     x, kernel = res
-    _, vjp_x = jax.vjp(lambda xx: _conv2d(xx, kernel, pad, groups), x)
-    (dx,) = vjp_x(dy)
+    transpose = jax.linear_transpose(
+        lambda xx: _conv2d(xx, kernel, pad, groups), x
+    )
+    (dx,) = transpose(dy)
     dw = _dw_taps_2d(x, dy, kernel.shape[0], kernel.shape[1], pad, groups)
     return dx, dw.astype(kernel.dtype)
 
