@@ -587,6 +587,14 @@ def resolve(cfg: Config) -> Config:
         ft.sample_rate = cfg.task.sample_rate
         ft.unique_labels = cfg.task.unique_labels
         ft.use_focal_loss = cfg.criterion.use_focal_loss
+    pp = cfg.distributed.pipeline_parallel
+    if pp > 1 and m.depth % pp != 0:
+        # fail at config time: at apply time the pipelined path would only
+        # decline with a warning and run the plain scan on 1/pp of the slice
+        raise ValueError(
+            f"model.depth={m.depth} is not divisible by "
+            f"distributed.pipeline_parallel={pp}"
+        )
     return cfg
 
 

@@ -16,6 +16,7 @@ Covers the reference's nn/modalities/modules.py: AltBlock/AltAttention
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import Any, Callable, Optional, Tuple
 
 import jax
@@ -23,6 +24,22 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from animal2vec_tpu.models.attention import multihead_attention
+
+logger = logging.getLogger(__name__)
+_pipeline_fallback_warned = set()
+
+
+def _warn_pipeline_fallback(reason: str) -> None:
+    """One-time warning when pipeline_stages > 1 is configured but the
+    pipelined path declines at apply time — without it a config typo (e.g.
+    a mesh whose 'stage' axis mismatches pipeline_parallel) silently runs
+    the plain scan with stage-sharded params, wasting those devices."""
+    if reason not in _pipeline_fallback_warned:
+        _pipeline_fallback_warned.add(reason)
+        logger.warning(
+            "BlockStack: pipeline_stages > 1 but falling back to the plain "
+            "layer scan: %s", reason,
+        )
 
 
 default_kernel_init = nn.initializers.xavier_uniform()
@@ -556,30 +573,43 @@ class BlockStack(nn.Module):
         from animal2vec_tpu.parallel.pipeline import active_mesh, pipeline_blocks
 
         mesh = active_mesh()
-        if (
-            mesh is None
-            or "stage" not in mesh.axis_names
-            or mesh.shape["stage"] != self.pipeline_stages
-            or self.depth % self.pipeline_stages != 0
-            or not (bias is None or isinstance(bias, AlibiSpec))
-        ):
+        reason = None
+        if mesh is None or "stage" not in mesh.axis_names:
+            reason = f"no ambient mesh with a 'stage' axis (mesh={mesh})"
+        elif mesh.shape["stage"] != self.pipeline_stages:
+            reason = (
+                f"mesh stage={mesh.shape['stage']} != configured "
+                f"pipeline_stages={self.pipeline_stages}"
+            )
+        elif self.depth % self.pipeline_stages != 0:
+            reason = (
+                f"depth {self.depth} not divisible by "
+                f"{self.pipeline_stages} stages"
+            )
+        elif not (bias is None or isinstance(bias, AlibiSpec)):
+            reason = "dense attention bias (only ALiBi-spec bias pipelines)"
+        if reason is not None:
+            _warn_pipeline_fallback(reason)
             return None
         stacked = self.get_variable("params", "block")
         if stacked is None:
             return None
+
+        key_impl = [None]  # impl of the caller's rng streams (default: ambient)
 
         def key_array(name):
             if deterministic or not self.has_rng(name):
                 return None
             k = self.make_rng(name)
             if jnp.issubdtype(k.dtype, jax.dtypes.prng_key):
+                key_impl[0] = jax.random.key_impl(k)
                 k = jax.random.key_data(k)
             keys = jax.vmap(
                 lambda i: jax.random.fold_in(
-                    jax.random.wrap_key_data(k, impl="threefry2x32"), i
+                    jax.random.wrap_key_data(k, impl=key_impl[0]), i
                 )
             )(jnp.arange(self.depth))
-            return jax.random.key_data(keys)  # (depth, 2) uint32
+            return jax.random.key_data(keys)  # (depth, key_words) uint32
 
         c = self.cfg
         # AltBlock touches the "dropout" stream whenever it runs
@@ -633,6 +663,7 @@ class BlockStack(nn.Module):
             n_micro=self.pipeline_microbatches,
             dropout_keys=dropout_keys,
             layerdrop_keys=layerdrop_keys,
+            key_impl=key_impl[0],
             layerdrop=self.layerdrop if not deterministic else 0.0,
             tap_reduce=tap_reduce,
             tap_weights=tap_weights if tap_reduce is not None else None,

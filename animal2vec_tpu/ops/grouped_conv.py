@@ -45,16 +45,39 @@ import jax.numpy as jnp
 def _needs_safe_dw() -> bool:
     """True when tracing under a mesh on which XLA's grouped-conv dW
     over-reduction can manifest: >= 2 mesh axes of size > 1 (a 1-D data
-    mesh and the no-mesh single-chip case are unaffected — measured)."""
-    try:
-        from jax._src import mesh as mesh_lib
+    mesh and the no-mesh single-chip case are unaffected — measured).
 
-        m = mesh_lib.thread_resources.env.physical_mesh
-        if m.empty:
-            return False
-        return sum(1 for s in m.devices.shape if s > 1) >= 2
+    Detects the mesh three ways: the ambient concrete mesh (``with mesh:``
+    or ``jax.sharding.set_mesh``, via parallel.pipeline.active_mesh) and the
+    abstract mesh jit propagates from explicit shardings
+    (``jax.sharding.get_abstract_mesh``) — so steps built with explicit
+    NamedSharding in/out_shardings and no mesh context manager still get the
+    partition-correct dW. ``A2V_FORCE_SAFE_DW=1`` forces the safe path for
+    callers whose mesh this cannot see. The requirement is also documented
+    at the step builders (train/build.py)."""
+    import os
+
+    if os.environ.get("A2V_FORCE_SAFE_DW", "") == "1":
+        return True
+
+    def multi_axis(shape_items) -> bool:
+        return sum(1 for _, s in shape_items if s > 1) >= 2
+
+    try:
+        from animal2vec_tpu.parallel.pipeline import active_mesh
+
+        m = active_mesh()
+        if m is not None and multi_axis(m.shape.items()):
+            return True
     except Exception:
         return True  # fail safe: correctness over speed
+    try:
+        am = jax.sharding.get_abstract_mesh()
+        if am is not None and not am.empty and multi_axis(am.shape.items()):
+            return True
+    except Exception:
+        return True
+    return False
 
 
 def _conv1d(x, kernel, stride, pad, groups):

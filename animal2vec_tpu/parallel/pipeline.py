@@ -25,22 +25,59 @@ point-to-point traffic beats tp's per-layer all-reduces.
 
 from __future__ import annotations
 
+import logging
+import warnings
 from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
+logger = logging.getLogger(__name__)
+_warned_no_mesh_api = False
+
 
 def active_mesh() -> Optional[Mesh]:
-    """The ambient physical mesh (``with mesh:`` context), or None."""
-    try:
-        from jax._src import mesh as mesh_lib
+    """The ambient concrete mesh, or None.
 
-        m = mesh_lib.thread_resources.env.physical_mesh
-        return None if m.empty else m
-    except Exception:  # pragma: no cover
-        return None
+    Checks, in order: the legacy ``with mesh:`` context (thread_resources,
+    reached through the still-public ``jax.interpreters.pxla`` shim before
+    the private module) and the new ``jax.sharding.set_mesh``/``use_mesh``
+    context (``jax.sharding.get_mesh``). If every accessor fails on a jax
+    upgrade we log a loud one-time warning instead of silently disabling
+    pipeline parallelism / forcing the slow safe-dW path everywhere.
+    """
+    global _warned_no_mesh_api
+    m = None
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            from jax.interpreters import pxla
+
+            m = pxla.thread_resources.env.physical_mesh
+    except Exception:
+        try:
+            from jax._src import mesh as mesh_lib
+
+            m = mesh_lib.thread_resources.env.physical_mesh
+        except Exception:
+            m = None
+    if m is not None and not m.empty:
+        return m
+    try:
+        m2 = jax.sharding.get_mesh()
+        if m2 is not None and not m2.empty and isinstance(m2, Mesh):
+            return m2
+    except Exception:
+        m2 = None
+    if m is None and m2 is None and not _warned_no_mesh_api:
+        _warned_no_mesh_api = True
+        logger.warning(
+            "animal2vec_tpu: no ambient-mesh accessor works on this jax "
+            "version; pipeline parallelism is disabled and grouped-conv "
+            "weight grads use the conservative safe path everywhere."
+        )
+    return None
 
 
 def pick_microbatches(batch: int, stages: int, requested: int = 0) -> int:
@@ -70,6 +107,7 @@ def pipeline_blocks(
     n_micro: int = 0,
     dropout_keys: Optional[jnp.ndarray] = None,
     layerdrop_keys: Optional[jnp.ndarray] = None,
+    key_impl: Any = None,
     layerdrop: float = 0.0,
     tap_reduce: Optional[Callable] = None,
     tap_weights: Optional[jnp.ndarray] = None,
@@ -142,9 +180,12 @@ def pipeline_blocks(
             )
 
             def block_apply(p_l, xl, slope_l, rate, key_l):
+                # key_impl came from jax.random.key_impl on the caller's key
+                # (None = ambient default impl) — never assume threefry:
+                # under jax_default_prng_impl=rbg key data is 4 words wide
                 key = (
                     jax.random.fold_in(
-                        jax.random.wrap_key_data(key_l, impl="threefry2x32"), m_idx
+                        jax.random.wrap_key_data(key_l, impl=key_impl), m_idx
                     )
                     if has_dropout
                     else None
@@ -156,7 +197,7 @@ def pipeline_blocks(
             ld_keys = None
             if has_layerdrop:
                 ld_keys = jax.vmap(
-                    lambda k: jax.random.wrap_key_data(k, impl="threefry2x32")
+                    lambda k: jax.random.wrap_key_data(k, impl=key_impl)
                 )(ldk_l)
             chunk_in = (
                 p_local,

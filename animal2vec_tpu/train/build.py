@@ -6,6 +6,15 @@ pretrained checkpoint is wrapped for finetuning (nn/wav2vec2.py:94-130) plus
 remove_pretraining_modules (nn/data2vec2.py:1125-1143): dropouts come from
 the finetune config, decoders are dropped, clone_batch collapses to 1, the
 frontend gradient is scaled by feature_grad_mult.
+
+Mesh-context requirement: when a train step built from these models runs
+under a multi-axis mesh (tp/pp), trace it inside ``with mesh:`` (or
+``jax.sharding.set_mesh``) — the shipped loops and the dryrun all do. The
+grouped-conv partition-correct weight-grad gate (ops/grouped_conv.py) and
+the pipelined trunk both discover the mesh from that ambient context (plus
+jit's abstract mesh); a step jitted with explicit NamedSharding arguments
+and no mesh context can silently keep XLA's over-reduced grouped dW under
+tp/pp. Set A2V_FORCE_SAFE_DW=1 if you must trace that way.
 """
 
 from __future__ import annotations

@@ -111,6 +111,30 @@ class TestPipelineEquivalence:
         scale = float(jnp.max(jnp.abs(f0))) + 1e-12
         assert float(jnp.max(jnp.abs(f0 - f1))) / scale < 1e-5
 
+    def test_nonstreaming_grads_match(self):
+        # backward through the stacked-taps path: out_buf/taps_buf
+        # dynamic-update masking is the part most likely to mis-transpose,
+        # and the streaming test never exercises it
+        mesh, pipelined, plain = _models(dp=2, pp=2, mp=2)
+        params, src = _init(plain)
+
+        def loss(model):
+            def f(p, s):
+                x, taps, _ = _encode(model, p, s, reduce_targets=False)
+                return (
+                    jnp.sum(x.astype(jnp.float32) ** 2)
+                    + 1e-3 * jnp.sum(taps.astype(jnp.float32) ** 2)
+                )
+            return f
+
+        g0 = jax.jit(jax.grad(loss(plain)))(params, src)
+        with mesh:
+            g1 = jax.jit(jax.grad(loss(pipelined)))(params, src)
+        f0, _ = jax.flatten_util.ravel_pytree(g0)
+        f1, _ = jax.flatten_util.ravel_pytree(g1)
+        scale = float(jnp.max(jnp.abs(f0))) + 1e-12
+        assert float(jnp.max(jnp.abs(f0 - f1))) / scale < 1e-5
+
     def test_no_stage_axis_falls_back_to_scan(self):
         # pipeline_stages=2 but the active mesh has no "stage" axis: the
         # plain scan must run (bitwise-identical path)
