@@ -342,7 +342,8 @@ class AudioEncoder(nn.Module):
                  conv_pos_depth, conv_pos_width, conv_pos_groups,
                  sample_rate=8000, sinc_input=True, sinc_norm="layer_norm",
                  use_pswish=False, norm_eps=1e-5, layer_norm_first=False,
-                 mlp_ratio=4.0, learned_alibi_scale_per_head=True):
+                 mlp_ratio=4.0, learned_alibi_scale_per_head=True,
+                 decoder=None):
         super().__init__()
         feat_dim = conv_layers[-1][0]
         self.num_heads = num_heads
@@ -385,6 +386,11 @@ class AudioEncoder(nn.Module):
         self.alibi_scale = nn.Parameter(
             torch.ones(1, 1, num_heads if learned_alibi_scale_per_head else 1, 1, 1)
         )
+        # modality decoder (pretrain only): decoder is a dict of
+        # D2vDecoderConfig fields (nn/modalities/audio.py:130-134)
+        self.decoder = (
+            Decoder1d(input_dim=embed_dim, **decoder) if decoder else None
+        )
 
     def contextualized_features(self, x):
         """features_only path of base.py:215-344 (mask=False, no padding)."""
@@ -406,7 +412,7 @@ class Data2VecMultiModel(nn.Module):
                  conv_pos_depth=5, conv_pos_width=95, conv_pos_groups=16,
                  sample_rate=8000, sinc_input=True, sinc_norm="layer_norm",
                  use_pswish=False, norm_eps=1e-5, layer_norm_first=False,
-                 mlp_ratio=4.0):
+                 mlp_ratio=4.0, decoder=None):
         super().__init__()
         self.modality_encoders = nn.ModuleDict(
             {
@@ -415,6 +421,7 @@ class Data2VecMultiModel(nn.Module):
                     conv_pos_depth, conv_pos_width, conv_pos_groups,
                     sample_rate, sinc_input, sinc_norm, use_pswish,
                     norm_eps, layer_norm_first, mlp_ratio,
+                    decoder=decoder,
                 )
             }
         )
@@ -438,6 +445,200 @@ class Data2VecMultiModel(nn.Module):
         if self.norm is not None:
             x = self.norm(x)
         return {"x": x, "layer_results": layer_results}
+
+
+class Decoder1d(nn.Module):
+    """Grouped-conv decoder + residual + projection
+    (nn/modalities/modules.py:137-192), fairseq state-dict naming
+    (``blocks.N.0.weight``, ``proj.weight``)."""
+
+    def __init__(self, input_dim, decoder_dim, decoder_kernel, decoder_groups,
+                 decoder_layers, projection_layers=1, projection_ratio=2.0,
+                 decoder_residual=True):
+        super().__init__()
+        self.decoder_residual = decoder_residual
+
+        def make_block(in_dim):
+            return nn.Sequential(
+                nn.Conv1d(
+                    in_dim, decoder_dim, kernel_size=decoder_kernel,
+                    padding=decoder_kernel // 2, groups=decoder_groups,
+                ),
+                SamePad(decoder_kernel),
+                TransposeLast(),
+                nn.LayerNorm(decoder_dim, elementwise_affine=False),
+                TransposeLast(),
+                nn.GELU(),
+            )
+
+        self.blocks = nn.Sequential(
+            *[make_block(input_dim if i == 0 else decoder_dim)
+              for i in range(decoder_layers)]
+        )
+        projs = []
+        curr = decoder_dim
+        for i in range(projection_layers - 1):
+            nxt = int(curr * projection_ratio) if i == 0 else curr
+            projs.append(nn.Linear(curr, nxt))
+            projs.append(nn.GELU())
+            curr = nxt
+        projs.append(nn.Linear(curr, input_dim))
+        self.proj = projs[0] if len(projs) == 1 else nn.Sequential(*projs)
+
+    def forward(self, x):  # (B, T, C)
+        x = x.transpose(1, 2)
+        residual = x
+        for layer in self.blocks:
+            x = layer(x)
+            # add_residual skips on channel mismatch (modules.py:124-132)
+            if self.decoder_residual and residual.size(1) == x.size(1):
+                x = x + residual
+            residual = x
+        x = x.transpose(1, 2)
+        return self.proj(x)
+
+
+def make_targets(taps, num_layers, instance_norm_target_layer=True,
+                 batch_norm_target_layer=False, layer_norm_target_layer=False,
+                 layer_norm_targets=False, instance_norm_targets=False):
+    """EMA-teacher target construction (nn/data2vec2.py:1023-1066)."""
+    with torch.no_grad():
+        tls = [t for t in taps[-num_layers:]]
+        permuted = False
+        if instance_norm_target_layer or batch_norm_target_layer:
+            tls = [t.transpose(1, 2) for t in tls]  # BTC -> BCT
+            permuted = True
+        if batch_norm_target_layer:
+            tls = [
+                F.batch_norm(t.float(), running_mean=None, running_var=None,
+                             training=True)
+                for t in tls
+            ]
+        if instance_norm_target_layer:
+            tls = [F.instance_norm(t.float()) for t in tls]
+        if permuted:
+            tls = [t.transpose(1, 2) for t in tls]
+        if layer_norm_target_layer:
+            tls = [F.layer_norm(t.float(), t.shape[-1:]) for t in tls]
+        y = tls[0].float()
+        for t in tls[1:]:
+            y = y + t.float()
+        y = y / len(tls)
+        if layer_norm_targets:
+            y = F.layer_norm(y, y.shape[-1:])
+        if instance_norm_targets:
+            y = F.instance_norm(y.transpose(1, 2)).transpose(1, 2)
+        return y
+
+
+def d2v_loss(x, y, loss_beta=0.0, loss_scale=None):
+    """Masked regression loss, element-wise (nn/data2vec2.py:1005-1021)."""
+    x = x.reshape(-1, x.size(-1)).float()
+    y = y.reshape(-1, x.size(-1))
+    if loss_beta == 0:
+        loss = F.mse_loss(x, y, reduction="none")
+    else:
+        loss = F.smooth_l1_loss(x, y, reduction="none", beta=loss_beta)
+    scale = loss_scale if loss_scale is not None else 1 / math.sqrt(x.size(-1))
+    return loss * scale
+
+
+class PretrainModel(nn.Module):
+    """Mirror of the *pretrain* forward (nn/data2vec2.py:516-909):
+    masked student (keep-set removal, base.py:215-344) -> Decoder1d scatter
+    (base.py:162-192) -> EMA teacher targets (make_targets) -> d2v loss.
+
+    The teacher runs with the same weights as the student (EMA decay 1 at
+    init) — the parity test compares the *composition math*, not the EMA
+    update, which is tested separately. ``mask_noise_std`` is fixed at 0 so
+    decoder mask tokens are zeros (deterministic across frameworks).
+    Takes precomputed MaskInfo index arrays so both frameworks consume the
+    identical mask (the reference samples masks host-side with numpy;
+    index-construction parity is tested separately in test_ops)."""
+
+    def __init__(self, w2v_model, avg_k, d2v_loss_weight=1.0, loss_beta=0.0,
+                 loss_scale=None, instance_norm_target_layer=True,
+                 layer_norm_target_layer=False, layer_norm_targets=False,
+                 instance_norm_targets=False):
+        super().__init__()
+        self.w2v_model = w2v_model
+        self.avg_k = avg_k
+        self.d2v_loss_weight = d2v_loss_weight
+        self.loss_beta = loss_beta
+        self.loss_scale = loss_scale
+        self.norm_flags = dict(
+            instance_norm_target_layer=instance_norm_target_layer,
+            layer_norm_target_layer=layer_norm_target_layer,
+            layer_norm_targets=layer_norm_targets,
+            instance_norm_targets=instance_norm_targets,
+        )
+
+    def forward(self, source, mask, ids_keep, ids_restore):
+        """source (B, wav); mask (B, T) 1=masked; ids_keep (B, K);
+        ids_restore (B, T). Returns dict(targets, decoder_out, loss)."""
+        enc = self.w2v_model.modality_encoders["AUDIO"]
+        local = enc.local_encoder(source)
+        local = enc.project_features(local)  # (B, T, E)
+        B, T, E = local.shape
+        K = ids_keep.size(1)
+
+        # ---- student: apply mask (encoder_zero_mask), rel-pos on the
+        # masked sequence, then remove masked tokens (base.py:265-290)
+        x_masked = local * (1 - mask.unsqueeze(-1).type_as(local))
+        x_pos = enc.relative_positional_encoder(x_masked)
+        idk = ids_keep.unsqueeze(-1).expand(-1, -1, E)
+        x = torch.gather(local, 1, idk) + torch.gather(x_pos, 1, idk)
+
+        # ALiBi at full length, scale folded in, then sliced to the keep-set
+        # (base.py:292-314, masked_alibi :681-698)
+        bias_full = get_alibi_bias(B, T, enc.num_heads)
+        scale = enc.alibi_scale.clamp_min(0)
+        bias_full = bias_full * scale.squeeze(0).type_as(bias_full)
+        H = bias_full.size(1)
+        bias = torch.gather(
+            bias_full, 2, ids_keep.view(B, 1, K, 1).expand(-1, H, -1, T)
+        )
+        bias = torch.gather(
+            bias, 3, ids_keep.view(B, 1, 1, K).expand(-1, H, K, -1)
+        )
+
+        x = enc.context_encoder(x, None, bias, None)
+        for blk in self.w2v_model.blocks:
+            x, _ = blk(x, None, bias)
+        if self.w2v_model.norm is not None:
+            x = self.w2v_model.norm(x)
+
+        # ---- decoder input: scatter keep-set + zero mask tokens back to
+        # full length (base.py:162-192 with mask_noise_std=0)
+        mask_tokens = x.new_zeros(B, T - K, E)
+        x_full = torch.cat([x, mask_tokens], dim=1)
+        idr = ids_restore.unsqueeze(-1).expand(-1, -1, E)
+        dx = torch.gather(x_full, 1, idr)
+        dec_out = enc.decoder(dx)
+
+        # ---- teacher: unmasked full sequence, same params
+        # (nn/data2vec2.py:779-846, ema_encoder_only=False,
+        # ema_local_encoder=False: contextualized_features on the student's
+        # local features, then the trunk blocks, collecting taps)
+        with torch.no_grad():
+            xt = local + enc.relative_positional_encoder(local)
+            xt = enc.context_encoder(xt, None, bias_full, None)
+            taps = []
+            for blk in self.w2v_model.blocks:
+                xt, lr = blk(xt, None, bias_full)
+                taps.append(lr)
+            y = make_targets(taps, self.avg_k, **self.norm_flags)
+
+        # ---- masked regression (nn/data2vec2.py:850-909 + the criterion's
+        # sum/sample_size contract, nn/criterions.py:405-430)
+        mb = mask.bool()
+        y_m = y[mb]
+        x_m = dec_out[mb]
+        sample_size = mb.sum()
+        reg = d2v_loss(x_m, y_m, self.loss_beta, self.loss_scale)
+        loss = reg.sum() * self.d2v_loss_weight / sample_size
+        return {"targets": y, "decoder_out": dec_out, "loss": loss,
+                "student_x": x}
 
 
 class _W2VEncoder(nn.Module):
