@@ -25,11 +25,14 @@ from typing import Any, List, Optional, Sequence, Tuple
 import yaml
 
 
-def parse_pylist(expr: str):
+def parse_pylist(expr):
     """Safely evaluate the reference's conv-layer spec strings, e.g.
     ``"[(512, 3, 2)] * 3 + [(512, 2, 1)]"`` — list/tuple literals combined
     with + and * only (the reference uses bare ``eval``,
-    nn/audio_tasks.py:290)."""
+    nn/audio_tasks.py:290). Already-parsed lists (e.g. a YAML override like
+    ``dataset.bucket_lengths=[8000,16000]``) pass through unchanged."""
+    if isinstance(expr, (list, tuple)):
+        return list(expr)
     node = ast.parse(expr, mode="eval").body
 
     def ev(n):

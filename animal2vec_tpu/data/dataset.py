@@ -180,16 +180,19 @@ class BatchLoader:
         self.dataset = dataset
         self.target_len = target_len
         self.batch_size = batch_size or max(1, max_tokens // target_len)
-        # Static-shape length bucketing (train only): the reference batches
-        # by a max_tokens budget over length-sorted indices
+        # Static-shape length bucketing: the reference batches by a
+        # max_tokens budget over length-sorted indices
         # (nn/audio_tasks.py:453-459), which yields fully dynamic shapes. On
         # TPU every distinct shape is a separate XLA program, so we instead
-        # batch into a small fixed set of clip lengths — one compiled step
+        # batch into a small fixed set of clip lengths — one compiled shape
         # per bucket — with the per-bucket batch size scaled to keep the
         # token budget constant. Items go to the smallest bucket >= their
         # length (longer items crop to the top bucket, as without buckets).
+        # Eval uses the same buckets (native-length evaluation: short clips
+        # are not padded to target_len; per-bucket tail groups pad by
+        # repeating items and report n_valid).
         self.buckets: Optional[List[int]] = None
-        if bucket_lengths and train:
+        if bucket_lengths:
             bl = sorted({min(int(b), target_len) for b in bucket_lengths} | {target_len})
             self.buckets = bl
             budget = max_tokens if max_tokens else self.batch_size * target_len
@@ -421,6 +424,10 @@ class BatchLoader:
                 while len(items) < bs * self.accum:
                     items.append(items[len(items) % max(1, len(idxs))])
                 batch = self._collate(items, blen)
+                if not self.train:
+                    # true item count so eval metrics can mask out the
+                    # repeated padding rows (train always drops last)
+                    batch["n_valid"] = np.int64(len(idxs))
                 if self.train:  # training steps always expect (accum, B, ...)
                     batch = {
                         k: v.reshape((self.accum, bs) + v.shape[1:])

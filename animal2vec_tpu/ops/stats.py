@@ -16,15 +16,26 @@ import jax.numpy as jnp
 
 
 def confusion_counts(
-    preds: jnp.ndarray, targets: jnp.ndarray
+    preds: jnp.ndarray,
+    targets: jnp.ndarray,
+    weights: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Micro-averaged TP/FP/TN/FN for binary {0,1} arrays of equal shape."""
+    """Micro-averaged TP/FP/TN/FN for binary {0,1} arrays of equal shape.
+
+    ``weights`` (broadcastable to ``preds``) masks elements out of the
+    counts — used to exclude repeated padding rows in eval batches."""
     preds = preds.astype(jnp.int32)
     targets = targets.astype(jnp.int32)
-    tp = jnp.sum((preds == 1) & (targets == 1))
-    fp = jnp.sum((preds == 1) & (targets == 0))
-    tn = jnp.sum((preds == 0) & (targets == 0))
-    fn = jnp.sum((preds == 0) & (targets == 1))
+    if weights is None:
+        tp = jnp.sum((preds == 1) & (targets == 1))
+        fp = jnp.sum((preds == 1) & (targets == 0))
+        tn = jnp.sum((preds == 0) & (targets == 0))
+        fn = jnp.sum((preds == 0) & (targets == 1))
+    else:
+        tp = jnp.sum(((preds == 1) & (targets == 1)) * weights)
+        fp = jnp.sum(((preds == 1) & (targets == 0)) * weights)
+        tn = jnp.sum(((preds == 0) & (targets == 0)) * weights)
+        fn = jnp.sum(((preds == 0) & (targets == 1)) * weights)
     return tp, fp, tn, fn
 
 

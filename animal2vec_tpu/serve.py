@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -114,11 +114,16 @@ def export_serving(
     wav_len: Optional[int] = None,
     cast_bf16: bool = True,
     platforms: Optional[Tuple[str, ...]] = None,
+    shapes: Optional[Sequence[Tuple[int, int]]] = None,
 ) -> str:
     """Build + export the finetuned frame-logit forward as an AOT bundle.
 
     ``variables``: ``{"params": ...}`` for the finetune model of ``cfg``.
-    Returns ``out_dir``. Platform defaults to the current jax backend.
+    ``shapes``: optional list of (batch_size, wav_len) pairs — one StableHLO
+    entry per shape in the same bundle (e.g. native-length buckets for a
+    short-clip corpus plus the 10-s default). When omitted, exports the
+    single (batch_size, wav_len) entry. Returns ``out_dir``. Platform
+    defaults to the current jax backend.
     """
     import jax
     import jax.numpy as jnp
@@ -128,6 +133,9 @@ def export_serving(
     model = build_finetune_model(cfg)
     if wav_len is None:
         wav_len = int(cfg.task.max_sample_size or 10 * cfg.task.sample_rate)
+    if shapes is None:
+        shapes = [(batch_size, wav_len)]
+    shapes = [(int(b), int(t)) for b, t in shapes]
     if cast_bf16:
         variables = cast_serving_params(variables)
 
@@ -137,24 +145,32 @@ def export_serving(
     params_spec = jax.tree_util.tree_map(
         lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), variables
     )
-    source_spec = jax.ShapeDtypeStruct((batch_size, wav_len), jnp.float32)
-    exported = jax.export.export(
-        jax.jit(forward),
-        platforms=list(platforms) if platforms else None,
-    )(params_spec, source_spec)
-
     os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, "forward.jaxexport"), "wb") as f:
-        f.write(exported.serialize())
+    exported_platforms = None
+    for bsz, wlen in shapes:
+        source_spec = jax.ShapeDtypeStruct((bsz, wlen), jnp.float32)
+        exported = jax.export.export(
+            jax.jit(forward),
+            platforms=list(platforms) if platforms else None,
+        )(params_spec, source_spec)
+        exported_platforms = list(exported.platforms)
+        name = (
+            "forward.jaxexport"
+            if (bsz, wlen) == shapes[0]
+            else f"forward_{bsz}x{wlen}.jaxexport"
+        )
+        with open(os.path.join(out_dir, name), "wb") as f:
+            f.write(exported.serialize())
     save_params_npz(os.path.join(out_dir, "params.npz"), variables)
     meta = {
-        "batch_size": batch_size,
-        "wav_len": wav_len,
+        "batch_size": shapes[0][0],
+        "wav_len": shapes[0][1],
+        "shapes": [list(s) for s in shapes],
         "sample_rate": cfg.task.sample_rate,
         "labels": cfg.task.labels(),
         "cast_bf16": cast_bf16,
-        "platforms": list(exported.platforms),
-        "out_shape": [batch_size, -1, len(cfg.task.labels())],
+        "platforms": exported_platforms,
+        "out_shape": [shapes[0][0], -1, len(cfg.task.labels())],
     }
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(meta, f, indent=1)
@@ -175,8 +191,6 @@ class ServingBundle:
 
         with open(os.path.join(bundle_dir, "meta.json")) as f:
             self.meta = json.load(f)
-        with open(os.path.join(bundle_dir, "forward.jaxexport"), "rb") as f:
-            self._exported = jax.export.deserialize(bytearray(f.read()))
         backend = jax.default_backend()
         if backend not in self.meta["platforms"]:
             raise RuntimeError(
@@ -184,8 +198,23 @@ class ServingBundle:
                 f"but this process runs on '{backend}'; re-export with "
                 f"platforms=('{backend}',)"
             )
+        self.shapes = [
+            tuple(s)
+            for s in self.meta.get(
+                "shapes", [[self.meta["batch_size"], self.meta["wav_len"]]]
+            )
+        ]
+        self._calls = {}
+        for i, (bsz, wlen) in enumerate(self.shapes):
+            name = (
+                "forward.jaxexport"
+                if i == 0
+                else f"forward_{bsz}x{wlen}.jaxexport"
+            )
+            with open(os.path.join(bundle_dir, name), "rb") as f:
+                exported = jax.export.deserialize(bytearray(f.read()))
+            self._calls[(bsz, wlen)] = jax.jit(exported.call)
         self._params = load_params_npz(os.path.join(bundle_dir, "params.npz"))
-        self._call = jax.jit(self._exported.call)
 
     @property
     def batch_size(self) -> int:
@@ -196,14 +225,15 @@ class ServingBundle:
         return int(self.meta["wav_len"])
 
     def __call__(self, source: np.ndarray) -> np.ndarray:
-        """source: (batch_size, wav_len) float32 -> (B, T, C) logits."""
-        expected = (self.batch_size, self.wav_len)
-        if tuple(source.shape) != expected:
+        """source: one of the bundle's (batch, wav_len) shapes float32 ->
+        (B, T, C) logits."""
+        key = tuple(source.shape)
+        if key not in self._calls:
             raise ValueError(
-                f"serving bundle expects source shape {expected}, got "
-                f"{tuple(source.shape)}; pad the final partial batch"
+                f"serving bundle expects source shape in {self.shapes}, got "
+                f"{key}; pad the final partial batch"
             )
-        return np.asarray(self._call(self._params, source))
+        return np.asarray(self._calls[key](self._params, source))
 
     def predict_probs(self, source: np.ndarray) -> np.ndarray:
         logits = self(source).astype(np.float32)

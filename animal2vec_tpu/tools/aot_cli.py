@@ -35,6 +35,12 @@ def main(argv=None):
     )
     parser.add_argument("--no-bf16", action="store_true",
                         help="keep weights fp32 in the bundle")
+    parser.add_argument(
+        "--shape", action="append", default=None, metavar="BATCHxSECONDS",
+        help="extra (batch x seconds) entries, repeatable — one StableHLO "
+        "program per shape in the same bundle (e.g. --shape 16x10 --shape "
+        "32x5 for native-length buckets)",
+    )
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
 
@@ -47,6 +53,15 @@ def main(argv=None):
     wav_len = (
         int(args.seconds * cfg.task.sample_rate) if args.seconds else None
     )
+    shapes = None
+    if args.shape:
+        base = wav_len or int(
+            cfg.task.max_sample_size or 10 * cfg.task.sample_rate
+        )
+        shapes = [(args.batch, base)]
+        for s in args.shape:
+            b, sec = s.lower().split("x")
+            shapes.append((int(b), int(float(sec) * cfg.task.sample_rate)))
     out = export_serving(
         cfg,
         variables,
@@ -54,6 +69,7 @@ def main(argv=None):
         batch_size=args.batch,
         wav_len=wav_len,
         cast_bf16=not args.no_bf16,
+        shapes=shapes,
     )
     print(f"serving bundle written to {out}")
     return 0

@@ -91,34 +91,60 @@ def finetune_loss(
         rngs=_rngs(rng) if train else None,
     )
     logits = out["encoder_out"]  # (B, T, C)
+    t_frames = logits.shape[1]
+
+    # eval loaders pad the final short batch by repeating items (row
+    # weights) and, with native-length buckets, clips can be shorter than
+    # the bucket (frame weights from the conv-rate padding mask). Both are
+    # masked out of every summed metric so P/R/F1 and the loss are computed
+    # over the true clips/frames only. Training is unchanged: drop_last
+    # always (no repeated rows), and the reference computes the train loss
+    # over all frames including padding (nn/criterions.py:241-247).
+    n_valid = batch.get("n_valid")
+    if n_valid is not None:
+        row_w = (jnp.arange(b) < n_valid).astype(jnp.float32)
+        n_rows = n_valid.astype(jnp.float32)
+    else:
+        row_w = jnp.ones((b,), jnp.float32)
+        n_rows = jnp.asarray(b, jnp.float32)
+    frame_pad = out.get("padding_mask")
+    if not train and frame_pad is not None:
+        fw = row_w[:, None] * (1.0 - frame_pad.astype(jnp.float32))  # (B, T)
+    else:
+        fw = jnp.broadcast_to(row_w[:, None], (b, t_frames))
 
     if cfg.criterion.use_focal_loss:
-        loss = sigmoid_focal_loss(logits, target, reduction="sum")
+        loss = sigmoid_focal_loss(logits, target, reduction="none")
+        loss = (loss * fw[:, :, None]).sum()
     else:
         loss = label_smoothed_nll_loss(
             logits, target.astype(jnp.int32).reshape(-1),
-            epsilon=cfg.criterion.label_smoothing, reduction="sum",
-        )
-    ntokens = jnp.asarray(target.shape[0] * target.shape[1], jnp.float32)
+            epsilon=cfg.criterion.label_smoothing, reduction="none",
+        )  # (B*T,)
+        loss = (loss.reshape(b, t_frames) * fw).sum()
+    ntokens = fw.sum()
     loss_n = loss / ntokens
 
     metrics: Dict[str, jnp.ndarray] = {"loss": loss_n, "sample_size": ntokens}
     p32 = None
     if not train:
         # verbose-eval capture (nn/criterions.py:270-276) — reused by the
-        # eval step so the model runs once, not twice
+        # eval step so the model runs once, not twice; padded rows/frames
+        # are trimmed host-side (validate_finetune) using _frame_valid
         p32 = jax.nn.sigmoid(logits.astype(jnp.float32))
         metrics["_predictions"] = p32
+        metrics["_frame_valid"] = fw > 0  # (B, T) bool
     if cfg.criterion.report_accuracy:
         if p32 is None:
             p32 = jax.nn.sigmoid(logits.astype(jnp.float32))
         preds = (p32 >= cfg.criterion.metric_threshold).astype(jnp.int32)
         tgt_bin = (target >= 0.5).astype(jnp.int32)
-        tp, fp, tn, fn = confusion_counts(preds, tgt_bin)
+        w3 = fw[:, :, None]
+        tp, fp, tn, fn = confusion_counts(preds, tgt_bin, weights=w3)
         metrics.update(
             {
-                "finetune/n_correct": jnp.sum(preds == tgt_bin),
-                "finetune/total": jnp.asarray(preds.size),
+                "finetune/n_correct": jnp.sum((preds == tgt_bin) * w3),
+                "finetune/total": ntokens * logits.shape[-1],
                 "finetune/tp": tp,
                 "finetune/fp": fp,
                 "finetune/tn": tn,

@@ -102,6 +102,9 @@ def _shard_batch(batch: Dict[str, np.ndarray], mesh, train: bool):
     for k, v in batch.items():
         if k in ("id", "valid_len"):
             continue
+        if k == "n_valid":  # replicated scalar: true (unpadded) item count
+            out[k] = jax.device_put(jnp.asarray(v), NamedSharding(mesh, P()))
+            continue
         ndim = v.ndim
         if train:  # leading accum dim
             spec = P(None, "data", *([None] * (ndim - 2)))
@@ -385,18 +388,40 @@ def validate_finetune(cfg, model, state, eval_fn, mesh, sink, step) -> Dict[str,
     frame + segmented reports on the gathered prediction tensors."""
     loader = _build_loader(cfg, cfg.dataset.valid_subset, False, 1)
     acc = MetricsAccumulator()
-    all_probs, all_targets = [], []
+    all_probs, all_targets, all_fvalid = [], [], []
     rng = jax.random.PRNGKey(0)
     with mesh:
         for batch in loader:
             sb = _shard_batch(batch, mesh, train=False)
             metrics = eval_fn(state, sb, rng)
             preds = metrics.pop("_predictions", None)
+            fvalid = metrics.pop("_frame_valid", None)
             acc.update(metrics)
             if preds is not None and cfg.task.verbose_tensorboard_logging:
-                all_probs.append(np.asarray(preds))
-                all_targets.append(np.asarray(batch["target"]))
+                # trim repeated padding rows from the final short batch so
+                # PR curves / reports see each clip exactly once
+                nv = int(batch.get("n_valid", len(batch["source"])))
+                p = np.asarray(preds)[:nv]
+                all_probs.append(p)
+                all_targets.append(np.asarray(batch["target"])[:nv])
+                all_fvalid.append(
+                    np.asarray(fvalid)[:nv]
+                    if fvalid is not None
+                    else np.ones(p.shape[:2], bool)
+                )
     out = acc.summary()
+    # native-length buckets produce per-bucket frame counts: right-pad every
+    # batch to the longest frame length (padding marked frame-invalid)
+    if all_probs:
+        t_max = max(p.shape[1] for p in all_probs)
+
+        def _pad_t(a):
+            pad = ((0, 0), (0, t_max - a.shape[1])) + ((0, 0),) * (a.ndim - 2)
+            return np.pad(a, pad)
+
+        all_probs = [_pad_t(p) for p in all_probs]
+        all_targets = [_pad_t(t) for t in all_targets]
+        all_fvalid = [_pad_t(f) for f in all_fvalid]
     # cross-host gather of the raw prediction tensors — replaces fairseq's
     # pickle all_gather_list of un-summable logging outputs
     # (nn/criterions.py:368-377, nn/audio_train_routine.py:449-453).
@@ -405,10 +430,21 @@ def validate_finetune(cfg, model, state, eval_fn, mesh, sink, step) -> Dict[str,
     # (even zero) sample counts and a skipped collective would deadlock.
     probs = np.concatenate(all_probs, 0).astype(np.float32) if all_probs else None
     targets = np.concatenate(all_targets, 0).astype(np.int32) if all_targets else None
+    fvalid = np.concatenate(all_fvalid, 0) if all_fvalid else None
     if jax.process_count() > 1:
         probs = _allgather_uneven(probs, np.float32)
         targets = _allgather_uneven(targets, np.int32)
+        fvalid = (
+            _allgather_uneven(
+                None if fvalid is None else fvalid[..., None].astype(np.float32),
+                np.float32,
+            )[..., 0]
+            > 0.5
+        )
     if probs is not None and probs.shape[0] > 0:
+        if fvalid is not None:
+            # padding frames must not fire events or enter frame metrics
+            probs = probs * fvalid[..., None]
         segmented = None
         if cfg.criterion.segmentation_metrics:
             md = {
@@ -428,8 +464,18 @@ def validate_finetune(cfg, model, state, eval_fn, mesh, sink, step) -> Dict[str,
                 method=cfg.criterion.method,
             )
             segmented = {"probs": pr, "targets": ta, "iou": iou, "splits": sp, "mergers": me}
+        if fvalid is not None:
+            # frame metrics over true frames only (the reference evaluates
+            # at native lengths, nn/audio_tasks.py:453-459; reports flatten
+            # to (frames, C) so 2-D inputs are accepted directly)
+            flat = fvalid.reshape(-1)
+            frame_targets = targets.reshape(-1, targets.shape[-1])[flat]
+            frame_probs = probs.reshape(-1, probs.shape[-1])[flat]
+        else:
+            frame_targets, frame_probs = targets, probs
         report = log_eval_report(
-            targets, probs, cfg.task.labels(), cfg.criterion.metric_threshold,
+            frame_targets, frame_probs, cfg.task.labels(),
+            cfg.criterion.metric_threshold,
             step, writer=sink.writer, prefix="valid", segmented=segmented,
         )
         out.update(report)

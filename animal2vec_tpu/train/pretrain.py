@@ -179,7 +179,18 @@ def pretrain_loss(
         y_m = y_m.reshape(b * clone, m_cnt, y.shape[-1])
     else:
         y_m = jnp.take_along_axis(y, ids_masked[..., None], axis=1)
-    sample_size = jnp.asarray(ids_masked.size, jnp.float32)
+
+    # eval loaders pad the final short batch by repeating items; weight
+    # the repeated rows out of every summed loss/counter (train drops last)
+    n_valid = batch.get("n_valid")
+    if n_valid is not None:
+        row_w = (jnp.arange(b) < n_valid).astype(jnp.float32)
+        n_rows = n_valid.astype(jnp.float32)
+    else:
+        row_w = jnp.ones((b,), jnp.float32)
+        n_rows = jnp.asarray(b, jnp.float32)
+    clone_w = jnp.repeat(row_w, clone, axis=0) if clone > 1 else row_w
+    sample_size = n_rows * clone * m_cnt
 
     losses = {}
     metrics: Dict[str, jnp.ndarray] = {}
@@ -187,10 +198,9 @@ def pretrain_loss(
         for i, xd in enumerate(xs):
             x_m = jnp.take_along_axis(xd, ids_masked[..., None], axis=1)
             name = f"{mode}_regression_{i}" if len(xs) > 1 else f"{mode}_regression"
-            losses[name] = (
-                d2v_regression_loss(x_m, y_m, mcfg.loss_beta, mcfg.loss_scale).sum()
-                * mcfg.d2v_loss
-            )
+            reg = d2v_regression_loss(x_m, y_m, mcfg.loss_beta, mcfg.loss_scale)
+            reg = reg.reshape(b * clone, -1) * clone_w[:, None]
+            losses[name] = reg.sum() * mcfg.d2v_loss
             metrics[f"pred_var_{i}" if len(xs) > 1 else "pred_var"] = compute_var(
                 jax.lax.stop_gradient(x_m)
             )
@@ -199,10 +209,11 @@ def pretrain_loss(
         # per-sample time-mean, broadcast to the clone rows post-reduction
         cls_target = jnp.repeat(y.mean(axis=1), clone, axis=0) if clone > 1 else y.mean(axis=1)
         cls_pred = x[:, acfg.num_extra_tokens - 1]
-        losses["cls"] = (
-            d2v_regression_loss(cls_pred, cls_target, mcfg.loss_beta, mcfg.loss_scale).sum()
-            * mcfg.cls_loss
-        )
+        cls_reg = d2v_regression_loss(cls_pred, cls_target, mcfg.loss_beta, mcfg.loss_scale)
+        cls_reg = cls_reg.reshape(b * clone, -1) * clone_w[:, None]
+        # reference scales by sample_size (nn/data2vec2.py:879-881) to cancel
+        # the criterion's /sample_size, making cls a per-element sum
+        losses["cls"] = cls_reg.sum() * mcfg.cls_loss * sample_size
 
     if mcfg.recon_loss > 0 and mode == "IMAGE":
         recon_t = model.apply(
@@ -239,22 +250,29 @@ def pretrain_loss(
             tgt_m = jnp.take_along_axis(tgt, ids_masked[..., None], axis=1)
         else:
             logits_m, tgt_m = logits, tgt
+        rows = logits_m.shape[0]
+        probe_w = clone_w if rows == b * clone else row_w
         if mcfg.use_focal_loss:
-            losses["linear_eval_loss"] = sigmoid_focal_loss(
-                logits_m, tgt_m, reduction="sum"
-            )
+            pl_loss = sigmoid_focal_loss(logits_m, tgt_m, reduction="none")
+            losses["linear_eval_loss"] = (
+                pl_loss.reshape(rows, -1) * probe_w[:, None]
+            ).sum()
         else:
             from animal2vec_tpu.ops import label_smoothed_nll_loss
 
-            losses["linear_eval_loss"] = label_smoothed_nll_loss(
-                logits_m, tgt_m.reshape(-1), reduction="sum"
+            pl_loss = label_smoothed_nll_loss(
+                logits_m, tgt_m.reshape(-1), reduction="none"
             )
+            losses["linear_eval_loss"] = (
+                pl_loss.reshape(rows, -1) * probe_w[:, None]
+            ).sum()
         preds = (jax.nn.sigmoid(logits_m.astype(jnp.float32)) >= mcfg.metric_threshold).astype(jnp.int32)
-        tp, fp, tn, fn = confusion_counts(preds, tgt_m)
+        w3 = probe_w.reshape((rows,) + (1,) * (preds.ndim - 1))
+        tp, fp, tn, fn = confusion_counts(preds, tgt_m, weights=w3)
         metrics.update(
             {
-                "pretrain/n_correct": jnp.sum(preds == tgt_m.astype(jnp.int32)),
-                "pretrain/total": jnp.asarray(preds.size),
+                "pretrain/n_correct": jnp.sum((preds == tgt_m.astype(jnp.int32)) * w3),
+                "pretrain/total": probe_w.sum() * (preds.size // rows),
                 "pretrain/tp": tp,
                 "pretrain/fp": fp,
                 "pretrain/tn": tn,

@@ -35,13 +35,21 @@ def main():
         # serving int8 trunk matmuls (config flag; see models/modules.py
         # quantized_matmul for the numeric contract + accuracy tests)
         overrides.append("model.matmul_impl=int8")
+    elif os.environ.get("A2V_BENCH_INT8", "") == "2":
+        # int8 matmuls + int8 QK^T/PV flash attention
+        overrides.append("model.matmul_impl=int8_attn")
     cfg = load_config(
         os.path.join(here, "animal2vec_tpu/configs/finetune_100.yaml"),
         overrides=overrides,
     )
     model = build_finetune_model(cfg)
 
-    batch = int(os.environ.get("A2V_BENCH_BATCH", "32"))
+    # shard the batch over every visible chip: on a v5e-8 host this measures
+    # the aggregate BASELINE unit (2000 clips/s) out of the box and reports
+    # it per chip; single-chip runs are unchanged
+    n_dev = jax.device_count()
+    batch_per_chip = int(os.environ.get("A2V_BENCH_BATCH", "32"))
+    batch = batch_per_chip * n_dev
     wav_len = 80_000  # 10 s @ 8 kHz
     rng = jax.random.PRNGKey(0)
     params = model.init({"params": rng}, jnp.zeros((1, wav_len)))
@@ -59,7 +67,14 @@ def main():
             return x
 
         params = jax.tree_util.tree_map_with_path(cast, params)
-    params = jax.device_put(params)
+    mesh = None
+    if n_dev > 1:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        mesh = Mesh(np.array(jax.devices()), ("data",))
+        params = jax.device_put(params, NamedSharding(mesh, P()))
+    else:
+        params = jax.device_put(params)
 
     # enough scan iterations to amortize the remote-dispatch overhead
     iters = int(os.environ.get("A2V_BENCH_ITERS", "40"))
@@ -81,7 +96,12 @@ def main():
         jnp.asarray(rng_np.normal(size=(batch, wav_len)).astype(np.float32))
         for _ in range(3)
     ]
-    srcs = [jax.device_put(s) for s in srcs]
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        srcs = [jax.device_put(s, NamedSharding(mesh, P("data"))) for s in srcs]
+    else:
+        srcs = [jax.device_put(s) for s in srcs]
 
     # warmup/compile on srcs[0]; time on fresh inputs (the remote runtime
     # memoizes identical pure calls, so repeated-same-input timing is bogus),
@@ -94,7 +114,7 @@ def main():
     dt = time.perf_counter() - t0
     assert np.isfinite(p1).all() and np.isfinite(p2).all()
 
-    clips_per_sec = batch * iters * 2 / dt
+    clips_per_sec = batch * iters * 2 / dt / n_dev  # per chip
     print(
         json.dumps(
             {
@@ -102,6 +122,8 @@ def main():
                 "value": round(clips_per_sec, 2),
                 "unit": "10s-clips/sec/chip",
                 "vs_baseline": round(clips_per_sec / BASELINE_PER_CHIP, 3),
+                "devices": n_dev,
+                "aggregate_clips_per_sec": round(clips_per_sec * n_dev, 2),
             }
         )
     )
