@@ -342,8 +342,12 @@ class ModelConfig:
 
     # "xla" | "flash" | "auto" — attention kernel selection (TPU: pallas flash)
     attn_impl: str = "auto"
-    # "bf16" | "int8" — serving-only weight+activation quantization of the
-    # trunk qkv/out/fc1/fc2 matmuls (int8 MXU path, ~2x bf16 rate)
+    # "bf16" | "int8" | "int8_attn" — serving-only quantization. "int8":
+    # weight+activation int8 for the trunk qkv/out/fc1/fc2 matmuls (int8 MXU
+    # path, ~2x bf16 rate; fused Pallas MLP + dense kernels when lane-
+    # aligned). "int8_attn": additionally runs QK^T/PV inside the flash
+    # attention kernel in int8 (doubles the head_dim-64 structural floor).
+    # Training paths ignore this and stay bf16/fp32.
     matmul_impl: str = "bf16"
     # rematerialize transformer blocks during training to save HBM
     remat: bool = True

@@ -57,6 +57,13 @@ Bias = Union[jnp.ndarray, AlibiSpec, None]
 
 
 def _on_tpu() -> bool:
+    # A2V_FLASH_INTERPRET=1 forces the Pallas attention paths on a CPU
+    # backend (the kernels then run in interpret mode) — model-level
+    # drives/tests of kernel routing without a TPU.
+    import os
+
+    if os.environ.get("A2V_FLASH_INTERPRET") == "1":
+        return True
     try:
         return jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover

@@ -45,6 +45,22 @@ def _warn_pipeline_fallback(reason: str) -> None:
 default_kernel_init = nn.initializers.xavier_uniform()
 
 
+def pallas_serving_ok(*dims: int) -> bool:
+    """Gate for the Pallas serving kernels (int8 dense / fused MLP):
+    lane-aligned shapes on a real TPU backend. ``A2V_PALLAS_SERVE=0/1``
+    forces off/on (tests force on to exercise interpret mode)."""
+    import os
+
+    force = os.environ.get("A2V_PALLAS_SERVE")
+    if force == "0":
+        return False
+    if any(d % 128 for d in dims):
+        return False
+    if force == "1":
+        return True
+    return jax.default_backend() == "tpu"
+
+
 def quantized_matmul(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     """int8 x int8 matmul on the MXU (~2x the bf16 rate on v5e).
 
@@ -54,9 +70,20 @@ def quantized_matmul(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     so steady-state serving pays only the activation quant. Serving-only
     numeric (config: model.matmul_impl=int8); training stays bf16/fp32.
 
+    Lane-aligned shapes on TPU route through the fused Pallas kernel
+    (ops/int8_mm.int8_dense): slope-measured 301 vs 233 TFLOP/s for the
+    XLA-composed chain at trunk shapes (bench_int8_sweep.py, 2026-08-19 —
+    the round-2 "XLA ties Pallas at 167" was the relay-overhead artifact,
+    docs/PERF.md round-3 correction).
+
     x: (..., K); kernel: (K, N) fp32/bf16. Returns (..., N) in x.dtype.
     """
     w32 = kernel.astype(jnp.float32)
+    if pallas_serving_ok(kernel.shape[0], kernel.shape[1]):
+        from animal2vec_tpu.ops.int8_mm import int8_dense, quantize_weight
+
+        w_q, w_s = quantize_weight(w32)
+        return int8_dense(x, w_q, w_s, block_n=256, block_m=2048)
     w_scale = jnp.max(jnp.abs(w32), axis=0, keepdims=True) / 127.0  # (1, N)
     w_q = jnp.round(w32 / jnp.maximum(w_scale, 1e-12)).astype(jnp.int8)
     x32 = x.astype(jnp.float32)
@@ -135,8 +162,29 @@ class Int8Dense(nn.Module):
         return y
 
 
+class _DenseParams(nn.Module):
+    """Parameter-only stand-in for nn.Dense: declares the identical
+    kernel/bias tree (so checkpoints/converters are oblivious) and returns
+    the raw leaves for kernels that consume both layers fused."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, c_in: int):
+        k = self.param("kernel", default_kernel_init, (c_in, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return k, b
+
+
 class Mlp(nn.Module):
-    """2-layer GELU MLP (timm Mlp, consumed at modules.py:312-317)."""
+    """2-layer GELU MLP (timm Mlp, consumed at modules.py:312-317).
+
+    Serving (deterministic, no activation dropout, lane-aligned dims on
+    TPU) routes through the fused Pallas kernel (ops/fused_mlp.py), which
+    keeps the (T, 4*dim) GELU intermediate in VMEM: slope-measured
+    8.75 -> 6.97 ms (bf16) / 5.41 ms (int8) per a2v-large MLP pair
+    (bench_fused_mlp.py 2026-08-19). GELU runs exact-erf in fp32 (A&S
+    7.1.26, max abs err 1.5e-7) — inside the 1e-3 parity budget."""
 
     hidden_dim: int
     out_dim: int
@@ -146,6 +194,30 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        # deterministic makes both Dropouts identity, so the fused kernel is
+        # exact regardless of self.dropout (the finetune configs carry
+        # activation_dropout=0.1 — gating on it kept the kernel off in serving)
+        fused = deterministic and pallas_serving_ok(
+            x.shape[-1], self.hidden_dim, self.out_dim
+        )
+        if fused:
+            from animal2vec_tpu.ops.fused_mlp import fused_mlp
+
+            k1, b1 = _DenseParams(self.hidden_dim, name="fc1")(x.shape[-1])
+            k2, b2 = _DenseParams(self.out_dim, name="fc2")(self.hidden_dim)
+            if self.int8:
+                from animal2vec_tpu.ops.int8_mm import quantize_weight
+
+                w1q, w1s = quantize_weight(k1)
+                w2q, w2s = quantize_weight(k2)
+                return fused_mlp(
+                    x, w1q, w2q, b1, b2, w1s, w2s, block_n=512, block_m=1024
+                )
+            return fused_mlp(
+                x, k1.astype(self.dtype), k2.astype(self.dtype), b1, b2,
+                block_n=512, block_m=1024,
+            )
+
         def dense(features, name):
             if self.int8:
                 return Int8Dense(features, dtype=self.dtype, name=name)
@@ -262,6 +334,7 @@ class AltAttention(nn.Module):
     dtype: Any = jnp.float32
     impl: str = "auto"  # "xla" | "flash" | "auto"
     int8: bool = False  # serving-only int8 qkv/out projections
+    int8_attn: bool = False  # serving-only int8 QK^T/PV flash kernel
 
     @nn.compact
     def __call__(
@@ -298,6 +371,19 @@ class AltAttention(nn.Module):
                 dropout_seed(self.make_rng("dropout")) if has_dropout else None,
             )
             out = proj(out, bhtd=False)
+        elif fast and self.int8_attn:
+            # serving int8 attention: both MXU products int8 — doubles the
+            # head_dim-64 structural floor (docs/PERF.md round 3)
+            from animal2vec_tpu.ops.pallas_attention import (
+                alibi_flash_attention_int8,
+            )
+
+            q, k, v = qkv(x, heads=h, bhtd=False)  # (B, T, H, E) each
+            out = alibi_flash_attention_int8(
+                q, k, v, bias.slopes, bias.positions, padding_mask,
+                bias.has_sentinel,
+            )
+            out = proj(out.reshape(b, t, c), bhtd=False)
         elif fast:
             from animal2vec_tpu.ops.pallas_attention import (
                 alibi_flash_attention_packed,
@@ -378,7 +464,8 @@ class AltBlock(nn.Module):
             proj_drop=c.encoder_dropout,
             dtype=self.dtype,
             impl=c.attn_impl,
-            int8=c.matmul_impl == "int8",
+            int8=c.matmul_impl in ("int8", "int8_attn"),
+            int8_attn=c.matmul_impl == "int8_attn",
             name="attn",
         )
         mlp_cls = Mlp
@@ -389,7 +476,7 @@ class AltBlock(nn.Module):
             out_dim=c.dim,
             dropout=c.activation_dropout,
             dtype=self.dtype,
-            int8=c.matmul_impl == "int8",
+            int8=c.matmul_impl in ("int8", "int8_attn"),
             name="mlp",
         )
 

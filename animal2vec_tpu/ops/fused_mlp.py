@@ -1,0 +1,297 @@
+"""Fused transformer-MLP Pallas kernel: x @ W1 -> GELU -> @ W2 in VMEM.
+
+Why this exists (measured, bench_int8_slope.py 2026-08-19, slope-fit):
+
+* a bf16 (65536x1024x4096) + GELU + (65536x4096x1024) MLP runs at
+  137 TFLOP/s while the same two matmuls without the GELU run at 179 —
+  the un-fused GELU costs ~1.9 ms per MLP pair: XLA round-trips the
+  (T, 4M) intermediate through HBM (~1.3 ms at 819 GB/s) and serializes
+  the erf VPU pass;
+* the int8 path is hit even harder: 379 TFLOP/s pre-quantized drops to
+  138 with the XLA-composed GELU between the dots.
+
+This kernel never materializes the intermediate: for each row tile the
+first product, bias, exact GELU, (optional re-quantization,) and the
+second product all happen in VMEM, accumulating the second matmul over
+hidden-dim chunks — the same grid structure as flash attention
+(row-parallel, hidden-chunk innermost/arbitrary).
+
+Numerics:
+* bf16 mode: MXU bf16 x bf16 -> fp32 accumulation, GELU in fp32 — at
+  least as accurate as the XLA path (which applies GELU in bf16).
+* int8 mode: per-output-channel symmetric weight scales (pre-quantized,
+  loop-invariant) + per-row dynamic activation scales, rounded exactly as
+  models/modules.quantized_matmul; the hidden activation re-quantizes
+  per (row, chunk) after GELU.
+
+Serving replacement for the reference Mlp (timm Mlp consumed at
+/root/reference/nn/modalities/modules.py:296,312-317).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _erf(x):
+    """erf via Abramowitz & Stegun 7.1.26 (max abs err 1.5e-7): Mosaic has
+    no erf primitive, but exp is native VPU. fp32 in/out."""
+    a1, a2, a3, a4, a5 = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    )
+    p = 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_exact(x):
+    # 0.5 * x * (1 + erf(x / sqrt(2))) in fp32 (reference nn.GELU default;
+    # the A&S erf's 1.5e-7 deviation is far inside the 1e-3 parity budget)
+    return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
+
+
+def _kernel_int8(
+    x_ref,     # VMEM (bn, C1) storage dtype
+    w1_ref,    # VMEM (C1, bm) int8
+    w1s_ref,   # VMEM (1, bm) f32
+    b1_ref,    # VMEM (1, bm) f32
+    w2_ref,    # VMEM (bm, C2) int8
+    w2s_ref,   # VMEM (1, C2) f32
+    b2_ref,    # VMEM (1, C2) f32
+    o_ref,     # VMEM (bn, C2) out dtype
+    xq_scr,    # VMEM (bn, C1) int8
+    xs_scr,    # VMEM (bn, 1) f32
+    acc_scr,   # VMEM (bn, C2) f32
+    *,
+    n_m: int,
+):
+    mi = pl.program_id(1)
+
+    @pl.when(mi == 0)
+    def _init():
+        x = x_ref[...].astype(jnp.float32)
+        s = jnp.maximum(jnp.max(jnp.abs(x), axis=1, keepdims=True) / 127.0, 1e-12)
+        xs_scr[...] = s
+        xq_scr[...] = jnp.round(x / s).astype(jnp.int8)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    h = jax.lax.dot_general(
+        xq_scr[...], w1_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    h = h * xs_scr[...] * w1s_ref[...] + b1_ref[...]
+    h = _gelu_exact(h)
+    hs = jnp.maximum(jnp.max(jnp.abs(h), axis=1, keepdims=True) / 127.0, 1e-12)
+    hq = jnp.round(h / hs).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        hq, w2_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    acc_scr[...] += acc * hs * w2s_ref[...]
+
+    @pl.when(mi == n_m - 1)
+    def _finish():
+        o_ref[...] = (acc_scr[...] + b2_ref[...]).astype(o_ref.dtype)
+
+
+def _kernel_bf16(
+    x_ref,     # VMEM (bn, C1)
+    w1_ref,    # VMEM (C1, bm) bf16
+    b1_ref,    # VMEM (1, bm) f32
+    w2_ref,    # VMEM (bm, C2) bf16
+    b2_ref,    # VMEM (1, C2) f32
+    o_ref,     # VMEM (bn, C2)
+    acc_scr,   # VMEM (bn, C2) f32
+    *,
+    n_m: int,
+):
+    mi = pl.program_id(1)
+
+    @pl.when(mi == 0)
+    def _init():
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    h = jax.lax.dot_general(
+        x_ref[...], w1_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    h = _gelu_exact(h + b1_ref[...])
+    acc_scr[...] += jax.lax.dot_general(
+        h.astype(w2_ref.dtype), w2_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(mi == n_m - 1)
+    def _finish():
+        o_ref[...] = (acc_scr[...] + b2_ref[...]).astype(o_ref.dtype)
+
+
+def _ref_mlp_bf16(x, w1, b1v, b2v, w2):
+    """XLA reference of the bf16 kernel's numerics (fp32 accumulation,
+    fp32 exact GELU) — used as the custom_vjp recompute backward."""
+    h = jax.lax.dot_general(
+        x, w1, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    h = _gelu_exact(h + b1v)
+    y = jax.lax.dot_general(
+        h.astype(w2.dtype), w2, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return (y + b2v).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _fused_bf16(x2, w1, b1v, b2v, w2, block_n, block_m):
+    return _pallas_bf16(x2, w1, b1v, b2v, w2, block_n, block_m)
+
+
+def _fused_bf16_fwd(x2, w1, b1v, b2v, w2, block_n, block_m):
+    return _pallas_bf16(x2, w1, b1v, b2v, w2, block_n, block_m), (x2, w1, b1v, b2v, w2)
+
+
+def _fused_bf16_bwd(block_n, block_m, res, g):
+    # recompute-based backward through the XLA reference (same numerics);
+    # engaged only if a training path ever differentiates the fused MLP
+    x2, w1, b1v, b2v, w2 = res
+    _, vjp = jax.vjp(_ref_mlp_bf16, x2, w1, b1v, b2v, w2)
+    return vjp(g)
+
+
+_fused_bf16.defvjp(_fused_bf16_fwd, _fused_bf16_bwd)
+
+
+def fused_mlp(
+    x: jnp.ndarray,                      # (..., C1) bf16/f32
+    w1: jnp.ndarray,                     # (C1, M) — int8 when w1_scale given
+    w2: jnp.ndarray,                     # (M, C2)
+    b1: Optional[jnp.ndarray] = None,    # (M,)
+    b2: Optional[jnp.ndarray] = None,    # (C2,)
+    w1_scale: Optional[jnp.ndarray] = None,  # (M,) f32  -> int8 mode
+    w2_scale: Optional[jnp.ndarray] = None,  # (C2,) f32
+    block_n: int = 512,
+    block_m: int = 1024,
+) -> jnp.ndarray:
+    """Fused x @ W1 -> +b1 -> GELU(exact) -> @ W2 -> +b2.
+
+    int8 mode when ``w1_scale``/``w2_scale`` are given (weights already
+    int8, per-output-channel scales); bf16 mode otherwise. Requires
+    C1 % 128 == 0, M % block_m == 0, C2 % 128 == 0.
+    """
+    int8 = w1_scale is not None
+    *lead, c1 = x.shape
+    m = w1.shape[1]
+    c2 = w2.shape[1]
+    assert w1.shape[0] == c1 and w2.shape[0] == m, (x.shape, w1.shape, w2.shape)
+    assert c1 % 128 == 0 and c2 % 128 == 0, (c1, c2)
+    block_m = min(block_m, m)
+    while m % block_m:
+        block_m //= 2
+    n = 1
+    for d in lead:
+        n *= d
+    x2 = x.reshape(n, c1)
+    block_n = min(block_n, _ceil_to(n, 32))
+
+    b1v = (
+        jnp.zeros((1, m), jnp.float32) if b1 is None
+        else b1.astype(jnp.float32).reshape(1, m)
+    )
+    b2v = (
+        jnp.zeros((1, c2), jnp.float32) if b2 is None
+        else b2.astype(jnp.float32).reshape(1, c2)
+    )
+    if int8:
+        out = _pallas_int8(
+            x2, w1, w1_scale.astype(jnp.float32).reshape(1, m), b1v,
+            w2, w2_scale.astype(jnp.float32).reshape(1, c2), b2v,
+            block_n, block_m,
+        )
+    else:
+        wdt = x.dtype if x.dtype != jnp.float32 else jnp.float32
+        out = _fused_bf16(
+            x2, w1.astype(wdt), b1v, b2v, w2.astype(wdt), block_n, block_m
+        )
+    return out[:n].reshape(*lead, c2)
+
+
+def _grid_common(n, c2, block_n, block_m, m, dtype):
+    n_pad = _ceil_to(n, block_n)
+    grid = (n_pad // block_n, m // block_m)
+    return n_pad, dict(
+        grid=grid,
+        out_specs=pl.BlockSpec((block_n, c2), lambda ni, mi: (ni, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_pad, c2), dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )
+
+
+def _pallas_int8(x2, w1, w1s, b1v, w2, w2s, b2v, block_n, block_m):
+    n, c1 = x2.shape
+    m = w1.shape[1]
+    c2 = w2.shape[1]
+    n_pad, common = _grid_common(n, c2, block_n, block_m, m, x2.dtype)
+    if n_pad != n:
+        x2 = jnp.pad(x2, ((0, n_pad - n), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_kernel_int8, n_m=common["grid"][1]),
+        in_specs=[
+            pl.BlockSpec((block_n, c1), lambda ni, mi: (ni, 0)),
+            pl.BlockSpec((c1, block_m), lambda ni, mi: (0, mi)),
+            pl.BlockSpec((1, block_m), lambda ni, mi: (0, mi)),
+            pl.BlockSpec((1, block_m), lambda ni, mi: (0, mi)),
+            pl.BlockSpec((block_m, c2), lambda ni, mi: (mi, 0)),
+            pl.BlockSpec((1, c2), lambda ni, mi: (0, 0)),
+            pl.BlockSpec((1, c2), lambda ni, mi: (0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_n, c1), jnp.int8),
+            pltpu.VMEM((block_n, 1), jnp.float32),
+            pltpu.VMEM((block_n, c2), jnp.float32),
+        ],
+        **common,
+    )(x2, w1, w1s, b1v, w2, w2s, b2v)
+    return out[:n]
+
+
+def _pallas_bf16(x2, w1, b1v, b2v, w2, block_n, block_m):
+    n, c1 = x2.shape
+    m = w1.shape[1]
+    c2 = w2.shape[1]
+    n_pad, common = _grid_common(n, c2, block_n, block_m, m, x2.dtype)
+    if n_pad != n:
+        x2 = jnp.pad(x2, ((0, n_pad - n), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_kernel_bf16, n_m=common["grid"][1]),
+        in_specs=[
+            pl.BlockSpec((block_n, c1), lambda ni, mi: (ni, 0)),
+            pl.BlockSpec((c1, block_m), lambda ni, mi: (0, mi)),
+            pl.BlockSpec((1, block_m), lambda ni, mi: (0, mi)),
+            pl.BlockSpec((block_m, c2), lambda ni, mi: (mi, 0)),
+            pl.BlockSpec((1, c2), lambda ni, mi: (0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_n, c2), jnp.float32),
+        ],
+        **common,
+    )(x2, w1, b1v, w2, b2v)
+    return out[:n]

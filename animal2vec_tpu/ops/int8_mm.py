@@ -93,7 +93,7 @@ def int8_dense(
     w_scale: jnp.ndarray,   # (M,) f32
     bias: Optional[jnp.ndarray] = None,  # (M,) any float dtype
     block_n: int = 256,
-    block_m: int = 512,
+    block_m: int = 2048,   # bench_int8_sweep.py: 301 TF/s vs 235 at bm=512
 ) -> jnp.ndarray:
     """Fused dynamic-per-row-quant int8 matmul: returns x @ dequant(w) with
     int8 MXU arithmetic, (..., M) in x.dtype. Requires C % 128 == 0 and

@@ -680,6 +680,183 @@ def _bwd(use_pallas, has_sentinel, dropout_rate, res, g):
 alibi_flash_attention.defvjp(_fwd, _bwd)
 
 
+def _kernel_q8(
+    slope_ref,  # SMEM (H, 1)
+    q_ref,      # VMEM (1, 1, bq, d) int8 (sm_scale folded into qs)
+    k_ref,      # VMEM (1, 1, bk, d) int8
+    v_ref,      # VMEM (1, 1, bk, d) int8
+    qs_ref,     # VMEM (1, 1, bq) f32 per-row q scales
+    ks_ref,     # VMEM (1, 1, bk) f32 per-row k scales
+    vs_ref,     # VMEM (1, 1, d) f32 per-channel v scales for this (b, h)
+    pos_q_ref,  # VMEM (1, 1, bq) int32
+    pos_k_ref,  # VMEM (1, 1, bk) int32
+    mask_ref,   # VMEM (1, 1, bk) int32
+    o_ref,      # VMEM (1, 1, bq, d)
+    m_scr, l_scr, acc_scr,
+    *,
+    n_k: int,
+    has_sentinel: bool,
+    has_mask: bool,
+):
+    """int8 flash attention tile (serving only): both attention matmuls run
+    int8 x int8 on the MXU — at head_dim 64 the contraction loads only half
+    the systolic rows, so int8's 2x rate doubles the D=64 structural floor
+    (docs/PERF.md round-3 correction). Scores dequantize to fp32 before the
+    online softmax; probabilities re-quantize at the fixed exp-range scale
+    1/127 (row max of exp(s - m_new) is exactly 1)."""
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[...].reshape(q_ref.shape[-2], q_ref.shape[-1])
+    k = k_ref[...].reshape(k_ref.shape[-2], k_ref.shape[-1])
+    s32 = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (bq, bk) int32
+    qs = qs_ref[0, 0][:, None]  # (bq, 1)
+    ks = ks_ref[0, 0][None, :]  # (1, bk)
+    s = s32.astype(jnp.float32) * qs * ks
+
+    slope = slope_ref[pl.program_id(1), 0]
+    bias, _ = _tile_bias(slope, pos_q_ref, pos_k_ref, has_sentinel)
+    s = s + bias
+    if has_mask:
+        s = jnp.where(mask_ref[0, 0][None, :] != 0, NEG_INF, s)
+
+    m_prev = m_scr[...]
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)  # (bq, bk) in [0, 1]
+    l_new = alpha * l_scr[...] + jnp.sum(p, axis=1, keepdims=True)
+    p8 = jnp.round(p * 127.0).astype(jnp.int8)
+    v_blk = v_ref[...].reshape(v_ref.shape[-2], v_ref.shape[-1])
+    pv32 = jax.lax.dot_general(
+        p8, v_blk,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    vs = vs_ref[0, 0][None, :]  # (1, d)
+    acc_scr[...] = acc_scr[...] * alpha + pv32.astype(jnp.float32) * (vs / 127.0)
+    m_scr[...] = m_new
+    l_scr[...] = l_new
+
+    @pl.when(ki == n_k - 1)
+    def _finish():
+        l = jnp.maximum(l_scr[...], 1e-30)
+        o_ref[0, 0] = (acc_scr[...] / l).astype(o_ref.dtype)
+
+
+def alibi_flash_attention_int8(
+    q: jnp.ndarray,      # (B, T, H, D)
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    slopes: jnp.ndarray,
+    positions: jnp.ndarray,
+    padding_mask: Optional[jnp.ndarray] = None,
+    has_sentinel: bool = True,
+    block_q: int = 1024,
+    block_k: int = 2048,
+) -> jnp.ndarray:
+    """Serving-only int8 flash attention (VERDICT r2 item 2: measured
+    in-kernel instead of bounded on paper). q/k quantize per row with
+    sm_scale folded into the q scales, v per channel; both MXU products run
+    int8. No dropout, no backward — the training paths keep the bf16 kernel.
+    """
+    b, t, h, d = q.shape
+    dtype = q.dtype
+    block_q = min(block_q, _ceil_to(t, 128))
+    block_k = min(block_k, _ceil_to(t, 128))
+    t_pad = _ceil_to(t, max(block_q, block_k))
+
+    def pad_seq(x, value=0, axis=1):
+        if t_pad == t:
+            return x
+        cfg = [(0, 0)] * x.ndim
+        cfg[axis] = (0, t_pad - t)
+        return jnp.pad(x, cfg, constant_values=value)
+
+    def quant_rows(x, fold=1.0):
+        """(B, H, T, D) -> int8 values + (B*H, 1, T) f32 scales."""
+        x32 = x.astype(jnp.float32) * fold
+        s = jnp.maximum(jnp.max(jnp.abs(x32), axis=-1) / 127.0, 1e-12)  # (B,H,T)
+        x8 = jnp.round(x32 / s[..., None]).astype(jnp.int8)
+        return x8, s.reshape(b * h, 1, t_pad)
+
+    qp = jnp.swapaxes(pad_seq(q), 1, 2)  # (B, H, T_pad, D)
+    kp = jnp.swapaxes(pad_seq(k), 1, 2)
+    vp = jnp.swapaxes(pad_seq(v), 1, 2)
+    q8, qs = quant_rows(qp, fold=d**-0.5)
+    k8, ks = quant_rows(kp)
+    v32 = vp.astype(jnp.float32)
+    vs = jnp.maximum(jnp.max(jnp.abs(v32), axis=2) / 127.0, 1e-12)  # (B,H,D)
+    v8 = jnp.round(v32 / vs[:, :, None, :]).astype(jnp.int8)
+    vs = vs.reshape(b * h, 1, d)
+
+    pos = pad_seq(positions.astype(jnp.int32))[:, None, :]
+    mask = (
+        jnp.zeros((b, t), jnp.int32)
+        if padding_mask is None
+        else padding_mask.astype(jnp.int32)
+    )
+    mask = pad_seq(mask, value=1)[:, None, :]
+    mask_needed = padding_mask is not None or t_pad != t
+
+    n_k = t_pad // block_k
+    grid = (b, h, t_pad // block_q, n_k)
+    interpret = jax.default_backend() != "tpu"
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_q8,
+            n_k=n_k,
+            has_sentinel=has_sentinel,
+            has_mask=mask_needed,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((h, 1), lambda bi, hi, qi, ki: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
+            pl.BlockSpec(
+                (1, 1, block_q), lambda bi, hi, qi, ki, n_h=h: (bi * n_h + hi, 0, qi)
+            ),
+            pl.BlockSpec(
+                (1, 1, block_k), lambda bi, hi, qi, ki, n_h=h: (bi * n_h + hi, 0, ki)
+            ),
+            pl.BlockSpec(
+                (1, 1, d), lambda bi, hi, qi, ki, n_h=h: (bi * n_h + hi, 0, 0)
+            ),
+            pl.BlockSpec((1, 1, block_q), lambda bi, hi, qi, ki: (bi, 0, qi)),
+            pl.BlockSpec((1, 1, block_k), lambda bi, hi, qi, ki: (bi, 0, ki)),
+            pl.BlockSpec((1, 1, block_k), lambda bi, hi, qi, ki: (bi, 0, ki)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, t_pad, d), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        slopes.astype(jnp.float32).reshape(h, 1),
+        q8, k8, v8, qs, ks, vs, pos, pos, mask,
+    )
+    return jnp.swapaxes(out, 1, 2)[:, :t]
+
+
 def _pallas_forward_packed(
     qkv: jnp.ndarray,  # (3, B, H, T, D)
     slopes: jnp.ndarray,

@@ -76,19 +76,35 @@ class _TolerantPickleModule:
 
 
 def load_torch_checkpoint(path: str) -> Dict[str, Any]:
-    """torch.load with tolerance for missing fairseq/omegaconf classes."""
+    """torch.load with tolerance for missing fairseq/omegaconf classes.
+
+    Truncated/corrupt files raise ``ValueError`` naming the file and the
+    failure, instead of surfacing torch's zip/pickle internals
+    (``PytorchStreamReader failed reading zip archive`` et al.).
+    """
     import torch
 
     try:
         return torch.load(path, map_location="cpu", weights_only=False)
     except (ImportError, AttributeError, ModuleNotFoundError, pickle.UnpicklingError):
         pass
-    return torch.load(
-        path,
-        map_location="cpu",
-        pickle_module=_TolerantPickleModule,
-        weights_only=False,
-    )
+    except (EOFError, OSError, RuntimeError, KeyError) as e:
+        raise ValueError(
+            f"checkpoint {path!r} is truncated or corrupt "
+            f"(re-download / re-copy it): {type(e).__name__}: {e}"
+        ) from e
+    try:
+        return torch.load(
+            path,
+            map_location="cpu",
+            pickle_module=_TolerantPickleModule,
+            weights_only=False,
+        )
+    except (EOFError, OSError, RuntimeError, KeyError, pickle.UnpicklingError) as e:
+        raise ValueError(
+            f"checkpoint {path!r} is truncated or corrupt "
+            f"(re-download / re-copy it): {type(e).__name__}: {e}"
+        ) from e
 
 
 def state_dict_to_numpy(sd: Dict[str, Any]) -> Dict[str, np.ndarray]:

@@ -1,0 +1,248 @@
+"""Training speed-of-light decomposition (VERDICT r2 #7).
+
+Measures, at the shipped pretrain recipe (a2v-large, batch 8, block-scope
+remat, clone_batch 12), the device time of each component of the train
+step, plus XLA's own cost_analysis FLOPs/bytes for the full step, and
+states the measured throughput as a fraction of the chip floor
+(179 TFLOP/s bf16 matmul rate / ~819 GB/s HBM — docs/PERF.md round-3
+ceiling study).
+
+Pieces (env PARTS, comma-separated; default all):
+  full     — full train step (grad + optimizer + EMA)
+  fwd      — pretrain loss forward only
+  teacher  — EMA-teacher full-sequence forward (streamed targets)
+  student  — frontend + masked-student encode + decoders forward
+  frontend — local_features (sinc + conv stack) only
+  update   — optimizer apply + EMA update with fixed grads
+  cost     — XLA cost_analysis of the full step (no TPU time)
+
+Scan-chain harness, scalar fetch (remote-relay measurement rule,
+docs/PERF.md round-2 findings §4).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build(batch):
+    from animal2vec_tpu.config import load_config
+    from animal2vec_tpu.train.build import init_pretrain
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    cfg = load_config(
+        os.path.join(here, "animal2vec_tpu/configs/a2v_large_pretrain.yaml"),
+        overrides=[
+            "common.compute_dtype=bfloat16",
+            "optimization.update_freq=1",
+            "model.remat_scope=" + os.environ.get("REMAT", "block"),
+        ],
+    )
+    model, state = init_pretrain(
+        cfg, jax.random.PRNGKey(0), example_wav_len=80_000, example_batch=1
+    )
+    rng_np = np.random.default_rng(0)
+    src = jnp.asarray(rng_np.normal(size=(batch, 80_000)).astype(np.float32))
+    return cfg, model, state, src
+
+
+def chain(name, fn, *args, iters=6, clips=None):
+    """fn(*args, i) -> scalar; scan-chained, timed twice."""
+
+    def body(c, i):
+        return c + fn(*args, i).astype(jnp.float32), None
+
+    g = jax.jit(lambda: jax.lax.scan(body, jnp.float32(0.0), jnp.arange(iters))[0])
+    t0 = time.perf_counter()
+    v = float(np.asarray(g()))
+    t_compile = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    v1 = float(np.asarray(g()))
+    v2 = float(np.asarray(g()))
+    dt = (time.perf_counter() - t0) / (2 * iters)
+    assert np.isfinite(v1) and np.isfinite(v2), (name, v1, v2)
+    extra = f"  {clips / dt:7.2f} clips/s" if clips else ""
+    print(f"{name:40s} {dt * 1e3:9.2f} ms{extra}  (compile {t_compile:.0f}s)", flush=True)
+    return dt
+
+
+def main():
+    parts = set(
+        os.environ.get(
+            "PARTS", "cost,full,fwd,teacher,student,frontend,update"
+        ).split(",")
+    )
+    batch = int(os.environ.get("PB", "8"))
+    cfg, model, state, src = build(batch)
+    from animal2vec_tpu.models.data2vec2 import Data2VecMulti
+    from animal2vec_tpu.train.pretrain import (
+        make_pretrain_train_step, pretrain_loss, _rngs,
+    )
+    from animal2vec_tpu.train.state import merge_params
+
+    rng = jax.random.PRNGKey(7)
+    mode = "AUDIO"
+    acfg = cfg.model.modalities.audio
+
+    if "cost" in parts:
+        step = make_pretrain_train_step(model, cfg)
+        lowered = jax.jit(step).lower(
+            state, {"source": src[None]}, rng
+        )
+        try:
+            ca = lowered.compile().cost_analysis()
+            if isinstance(ca, list):
+                ca = ca[0]
+        except Exception as e:  # remote PJRT may not expose cost analysis
+            print(f"cost_analysis unavailable: {type(e).__name__}: {e}", flush=True)
+            ca = {}
+        fl = ca.get("flops", 0.0)
+        by = ca.get("bytes accessed", 0.0)
+        if fl and by:
+            t_mxu = fl / 179e12
+            t_hbm = by / 819e9
+            print(
+                f"cost_analysis: {fl / 1e12:.2f} TFLOP, {by / 1e9:.1f} GB accessed\n"
+                f"  MXU floor {t_mxu * 1e3:.0f} ms ({batch / t_mxu:.2f} clips/s)"
+                f"  | HBM floor {t_hbm * 1e3:.0f} ms ({batch / t_hbm:.2f} clips/s)",
+                flush=True,
+            )
+
+    if "full" in parts:
+        step = make_pretrain_train_step(model, cfg)
+
+        def body(c, i):
+            s, acc = c
+            s2, m = step(s, {"source": src[None]}, jax.random.fold_in(rng, i))
+            return (s2, acc + m["loss"].astype(jnp.float32)), None
+
+        iters = 6
+        g = jax.jit(
+            lambda s: jax.lax.scan(body, (s, jnp.float32(0.0)), jnp.arange(iters))[0][1]
+        )
+        t0 = time.perf_counter()
+        float(np.asarray(g(state)))
+        tc = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        v1 = float(np.asarray(g(state)))
+        v2 = float(np.asarray(g(state)))
+        dt = (time.perf_counter() - t0) / (2 * iters)
+        assert np.isfinite(v1) and np.isfinite(v2)
+        print(f"{'full step':40s} {dt * 1e3:9.2f} ms  {batch / dt:7.2f} clips/s  (compile {tc:.0f}s)", flush=True)
+
+    if "fwd" in parts:
+        def fwd(params, ema, i):
+            l, _ = pretrain_loss(
+                params, ema, {"source": src}, jax.random.fold_in(rng, i),
+                model, cfg, True,
+            )
+            return l
+
+        chain("loss forward only", fwd, state.params, state.ema_params, clips=batch)
+
+    if "teacher" in parts:
+        variables = {"params": state.params}
+        local = model.apply(variables, src, mode, True, method=Data2VecMulti.local_features)
+        teacher_vars = {"params": merge_params(state.params, state.ema_params)}
+
+        def teach(local, i):
+            _, t_acc, _, _ = model.apply(
+                teacher_vars,
+                local + 0.0 * i,
+                mode, None, False, None, None, True,
+                True,  # deterministic
+                True,  # reduce_targets
+                method=Data2VecMulti.encode,
+            )
+            return t_acc.astype(jnp.float32).mean()
+
+        chain("teacher forward (streamed targets)", teach, local, clips=batch)
+
+    if "student" in parts or "frontend" in parts:
+        from animal2vec_tpu.ops.masking import (
+            expected_span_mask_tokens, make_mask_info_static, span_mask,
+        )
+
+        variables = {"params": state.params}
+
+        if "frontend" in parts:
+            def front(i):
+                lf = model.apply(
+                    variables, src + 0.0 * i, mode, True,
+                    method=Data2VecMulti.local_features,
+                )
+                return lf.astype(jnp.float32).mean()
+
+            chain("conv frontend (local_features)", front, clips=batch)
+
+        if "student" in parts:
+            clone = cfg.model.clone_batch
+
+            def stud(i):
+                r = jax.random.fold_in(rng, i)
+                r_mask, r_student, r_dec = jax.random.split(r, 3)
+                local = model.apply(
+                    variables, src, mode, False,
+                    method=Data2VecMulti.local_features, rngs=_rngs(r),
+                )
+                b, t, c = local.shape
+                local_c = jnp.repeat(local, clone, axis=0)
+                mask = span_mask(
+                    r_mask, b * clone, t, acfg.mask_prob, acfg.mask_length,
+                    acfg.mask_dropout,
+                )
+                m_tokens = expected_span_mask_tokens(
+                    t, acfg.mask_prob, acfg.mask_length, acfg.mask_dropout
+                )
+                info = make_mask_info_static(mask, m_tokens, acfg.keep_masked_pct)
+                x, taps, _, keeps = model.apply(
+                    variables, local_c, mode, info, True, None, None,
+                    acfg.encoder_zero_mask, False,
+                    method=Data2VecMulti.encode, rngs=_rngs(r_student),
+                )
+                xs = model.apply(
+                    variables, x, mode, info, False,
+                    method=Data2VecMulti.decode_d2v, rngs=_rngs(r_dec),
+                )
+                return sum(v.astype(jnp.float32).mean() for v in jax.tree_util.tree_leaves(xs))
+
+            chain("student fwd (frontend+encode+decode)", stud, clips=batch)
+
+    if "update" in parts:
+        grads = jax.tree_util.tree_map(
+            lambda p: jnp.ones_like(p) * 1e-6, state.params
+        )
+
+        def upd(s, i):
+            s2 = s.apply_gradients(
+                jax.tree_util.tree_map(lambda g: g * (1.0 + 0.0 * i), grads),
+                cfg.model,
+            )
+            return s2
+
+        def body(c, i):
+            s = upd(c, i)
+            return s, None
+
+        iters = 8
+        g = jax.jit(
+            lambda s: jax.lax.scan(body, s, jnp.arange(iters))[0].step.astype(jnp.float32)
+        )
+        t0 = time.perf_counter()
+        float(np.asarray(g(state)))
+        tc = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(np.asarray(g(state)))
+        float(np.asarray(g(state)))
+        dt = (time.perf_counter() - t0) / (2 * iters)
+        print(f"{'optimizer + EMA update only':40s} {dt * 1e3:9.2f} ms  (compile {tc:.0f}s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

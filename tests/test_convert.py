@@ -237,3 +237,160 @@ class TestTolerantUnpickler:
         assert set(orig) == set(got)
         for k in orig:
             np.testing.assert_array_equal(orig[k], got[k], err_msg=str(k))
+
+
+class TestAdversarialCheckpoints:
+    """VERDICT r2 #8: fixtures shaped like *real* fairseq pickles — actual
+    ``fairseq.*``/``omegaconf.*`` class paths (stub modules registered only
+    while saving), shared/sliced storages, half/bf16 tensors, and truncated
+    files — must load (or fail loudly) through the public converter API."""
+
+    def _register(self, names):
+        import sys
+        import types
+
+        created = []
+        for modname, classnames in names.items():
+            mod = types.ModuleType(modname)
+            for cn in classnames:
+                cls = type(cn, (), {
+                    "__init__": lambda self, *a, **k: self.__dict__.update(k),
+                    "__reduce__": lambda self: (
+                        self.__class__, (), dict(self.__dict__)
+                    ),
+                    "__setstate__": lambda self, st: self.__dict__.update(st),
+                })
+                cls.__module__ = modname
+                setattr(mod, cn, cls)
+            sys.modules[modname] = mod
+            created.append(modname)
+            # parent packages must exist for pickle's __import__
+            parts = modname.split(".")
+            for i in range(1, len(parts)):
+                parent = ".".join(parts[:i])
+                if parent not in sys.modules:
+                    sys.modules[parent] = types.ModuleType(parent)
+                    created.append(parent)
+            for i in range(1, len(parts)):
+                child = ".".join(parts[: i + 1])
+                setattr(sys.modules[".".join(parts[:i])], parts[i], sys.modules[child])
+        return created
+
+    def _fairseq_path_ckpt(self, tmp_path, sd):
+        import sys
+
+        torch = pytest.importorskip("torch")
+        created = self._register({
+            "omegaconf.dictconfig": ["DictConfig"],
+            "omegaconf.base": ["ContainerMetadata", "Metadata"],
+            "fairseq.dataclass.configs": ["FairseqConfig", "FairseqDataclass"],
+            "fairseq.data.dictionary": ["Dictionary"],
+        })
+        try:
+            from omegaconf.dictconfig import DictConfig  # type: ignore
+            from omegaconf.base import ContainerMetadata  # type: ignore
+            from fairseq.dataclass.configs import FairseqConfig  # type: ignore
+            from fairseq.data.dictionary import Dictionary  # type: ignore
+
+            ckpt = {
+                "args": None,
+                "cfg": DictConfig(
+                    _content={"model": FairseqConfig(depth=3)},
+                    _metadata=ContainerMetadata(ref_type=None),
+                ),
+                "task_state": {"target_dictionary": Dictionary(symbols=["a", "b"])},
+                "model": {k: torch.tensor(v) for k, v in sd.items()},
+                "extra_state": {"epoch": 3},
+            }
+            pt = str(tmp_path / "real_paths.pt")
+            torch.save(ckpt, pt)
+        finally:
+            for m in created:
+                sys.modules.pop(m, None)
+        return pt
+
+    def test_actual_fairseq_class_paths(self, pretrain_params, tmp_path):
+        from animal2vec_tpu.train.convert import (
+            convert_pretrain, load_torch_checkpoint, state_dict_to_numpy,
+        )
+
+        cfg_m, params = pretrain_params
+        sd = export_pretrain(params, cfg_m)
+        pt = self._fairseq_path_ckpt(tmp_path, sd)
+        with pytest.raises(ModuleNotFoundError):
+            import fairseq  # noqa: F401  (must really be unimportable now)
+        ckpt = load_torch_checkpoint(pt)
+        back, _ = convert_pretrain(state_dict_to_numpy(ckpt["model"]), cfg_m)
+        orig = tu.flatten_dict(jax.tree_util.tree_map(np.asarray, params))
+        got = tu.flatten_dict(back)
+        assert set(orig) == set(got)
+        for k in orig:
+            np.testing.assert_array_equal(orig[k], got[k], err_msg=str(k))
+
+    def test_shared_and_sliced_storages(self, tmp_path):
+        """fairseq ties some embeddings; torch.save stores one storage for
+        views/slices. Every alias must materialize with its own values."""
+        torch = pytest.importorskip("torch")
+        from animal2vec_tpu.train.convert import (
+            load_torch_checkpoint, state_dict_to_numpy,
+        )
+
+        base = torch.randn(8, 16)
+        ckpt = {"model": {
+            "a.weight": base,
+            "b.weight": base,            # same storage, same view
+            "c.weight": base[2:6],       # slice into the same storage
+            "d.weight": base.t(),        # transposed view (non-contiguous)
+        }}
+        pt = str(tmp_path / "shared.pt")
+        torch.save(ckpt, pt)
+        got = state_dict_to_numpy(load_torch_checkpoint(pt)["model"])
+        ref = base.detach().numpy()
+        np.testing.assert_array_equal(got["a.weight"], ref)
+        np.testing.assert_array_equal(got["b.weight"], ref)
+        np.testing.assert_array_equal(got["c.weight"], ref[2:6])
+        np.testing.assert_array_equal(got["d.weight"], ref.T)
+
+    def test_half_and_bf16_tensors(self, tmp_path):
+        torch = pytest.importorskip("torch")
+        from animal2vec_tpu.train.convert import (
+            load_torch_checkpoint, state_dict_to_numpy,
+        )
+
+        w = torch.randn(4, 8)
+        ckpt = {"model": {
+            "fp16.weight": w.half(),
+            "bf16.weight": w.bfloat16(),
+            "fp32.weight": w,
+        }}
+        pt = str(tmp_path / "halfs.pt")
+        torch.save(ckpt, pt)
+        got = state_dict_to_numpy(load_torch_checkpoint(pt)["model"])
+        for k, v in got.items():
+            assert v.dtype == np.float32, (k, v.dtype)
+        np.testing.assert_allclose(got["fp16.weight"], w.numpy(), atol=2e-3)
+        np.testing.assert_allclose(got["bf16.weight"], w.numpy(), atol=2e-2)
+        np.testing.assert_array_equal(got["fp32.weight"], w.numpy())
+
+    def test_truncated_file_raises_clear_error(self, tmp_path):
+        torch = pytest.importorskip("torch")
+        from animal2vec_tpu.train.convert import load_torch_checkpoint
+
+        pt = str(tmp_path / "trunc.pt")
+        torch.save({"model": {"w": torch.randn(64, 64)}}, pt)
+        data = open(pt, "rb").read()
+        for frac, name in ((0.5, "half"), (0.98, "tail")):
+            cut = str(tmp_path / f"cut_{name}.pt")
+            with open(cut, "wb") as f:
+                f.write(data[: int(len(data) * frac)])
+            with pytest.raises(ValueError, match="truncated or corrupt"):
+                load_torch_checkpoint(cut)
+
+    def test_garbage_file_raises_clear_error(self, tmp_path):
+        from animal2vec_tpu.train.convert import load_torch_checkpoint
+
+        bad = str(tmp_path / "garbage.pt")
+        with open(bad, "wb") as f:
+            f.write(b"\x00" * 1024)
+        with pytest.raises(ValueError, match="truncated or corrupt"):
+            load_torch_checkpoint(bad)

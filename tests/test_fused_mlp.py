@@ -1,0 +1,167 @@
+"""Fused transformer-MLP Pallas kernel tests (interpret mode on CPU).
+
+Covers the bf16/fp32 fused path against the XLA reference math, the int8
+path against an exact numpy emulation of the kernel's quantization
+schedule, the custom_vjp backward, and the Mlp module routing (gate +
+param-tree compatibility with the unfused nn.Dense layout).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from animal2vec_tpu.ops.fused_mlp import _gelu_exact, fused_mlp
+from animal2vec_tpu.ops.int8_mm import quantize_weight
+
+
+def ref_mlp(x, w1, b1, w2, b2):
+    h = jax.nn.gelu(x @ w1 + b1, approximate=False)
+    return h @ w2 + b2
+
+
+def make(n, c1, m, c2, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(n, c1)).astype(np.float32))
+    w1 = jnp.asarray(rng.normal(size=(c1, m)).astype(np.float32) / np.sqrt(c1))
+    b1 = jnp.asarray(rng.normal(size=(m,)).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.normal(size=(m, c2)).astype(np.float32) / np.sqrt(m))
+    b2 = jnp.asarray(rng.normal(size=(c2,)).astype(np.float32) * 0.1)
+    return x, w1, b1, w2, b2
+
+
+class TestFusedFp32:
+    def test_matches_reference(self):
+        x, w1, b1, w2, b2 = make(256, 128, 256, 128)
+        out = fused_mlp(x, w1, w2, b1, b2, block_n=128, block_m=128)
+        ref = ref_mlp(x, w1, b1, w2, b2)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+    def test_leading_dims_and_row_padding(self):
+        # (3, 50) rows = 150, not a multiple of any block — exercises padding
+        x, w1, b1, w2, b2 = make(150, 128, 256, 128, seed=1)
+        x3 = x.reshape(3, 50, 128)
+        out = fused_mlp(x3, w1, w2, b1, b2, block_n=128, block_m=128)
+        assert out.shape == (3, 50, 128)
+        ref = ref_mlp(x, w1, b1, w2, b2).reshape(3, 50, 128)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+    def test_no_bias(self):
+        x, w1, _, w2, _ = make(128, 128, 128, 128, seed=2)
+        out = fused_mlp(x, w1, w2, block_n=128, block_m=128)
+        ref = jax.nn.gelu(x @ w1, approximate=False) @ w2
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+    def test_block_m_shrinks_to_divide_hidden(self):
+        # m=384 with requested block_m=256 -> shrinks to 128 internally
+        x, w1, b1, w2, b2 = make(64, 128, 384, 128, seed=3)
+        out = fused_mlp(x, w1, w2, b1, b2, block_n=64, block_m=256)
+        ref = ref_mlp(x, w1, b1, w2, b2)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+    def test_grad_matches_reference(self):
+        x, w1, b1, w2, b2 = make(64, 128, 128, 128, seed=4)
+
+        def loss_fused(x, w1, b1, w2, b2):
+            return jnp.sum(fused_mlp(x, w1, w2, b1, b2, block_n=64, block_m=128) ** 2)
+
+        def loss_ref(x, w1, b1, w2, b2):
+            return jnp.sum(ref_mlp(x, w1, b1, w2, b2) ** 2)
+
+        g_f = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+        g_r = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+        for a, b in zip(g_f, g_r):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3)
+
+
+def emulate_int8(x, w1q, w1s, b1, w2q, w2s, b2, block_m):
+    """Numpy emulation of _kernel_int8's exact quantization schedule:
+    per-row activation scales over full C1; after GELU, per-(row, block_m
+    chunk) re-quantization."""
+    x = np.asarray(x, np.float32)
+    s = np.maximum(np.max(np.abs(x), axis=1, keepdims=True) / 127.0, 1e-12)
+    xq = np.round(x / s).astype(np.int8)
+    w1q = np.asarray(w1q, np.int64)
+    w2q = np.asarray(w2q, np.int64)
+    m = w1q.shape[1]
+    acc = np.zeros((x.shape[0], w2q.shape[1]), np.float32)
+    for mi in range(0, m, block_m):
+        h = (xq.astype(np.int64) @ w1q[:, mi : mi + block_m]).astype(np.float32)
+        h = h * s * np.asarray(w1s)[None, mi : mi + block_m] + np.asarray(b1)[None, mi : mi + block_m]
+        h = np.asarray(_gelu_exact(jnp.asarray(h)))
+        hs = np.maximum(np.max(np.abs(h), axis=1, keepdims=True) / 127.0, 1e-12)
+        hq = np.round(h / hs).astype(np.int8)
+        acc += (hq.astype(np.int64) @ w2q[mi : mi + block_m]).astype(np.float32) * hs * np.asarray(w2s)[None]
+    return acc + np.asarray(b2)[None]
+
+
+class TestFusedInt8:
+    def test_matches_exact_emulation(self):
+        x, w1, b1, w2, b2 = make(64, 128, 256, 128, seed=5)
+        w1q, w1s = quantize_weight(w1)
+        w2q, w2s = quantize_weight(w2)
+        out = fused_mlp(x, w1q, w2q, b1, b2, w1s, w2s, block_n=64, block_m=128)
+        ref = emulate_int8(x, w1q, w1s, b1, w2q, w2s, b2, block_m=128)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+    def test_close_to_fp32_mlp(self):
+        x, w1, b1, w2, b2 = make(128, 128, 256, 128, seed=6)
+        w1q, w1s = quantize_weight(w1)
+        w2q, w2s = quantize_weight(w2)
+        out = np.asarray(fused_mlp(x, w1q, w2q, b1, b2, w1s, w2s, block_n=128, block_m=128))
+        ref = np.asarray(ref_mlp(x, w1, b1, w2, b2))
+        rel_rms = np.sqrt(np.mean((out - ref) ** 2) / np.mean(ref**2))
+        assert rel_rms < 0.03, rel_rms
+
+
+class TestMlpModuleRouting:
+    def _mk(self, monkeypatch=None, force=None):
+        from animal2vec_tpu.models.modules import Mlp
+
+        if monkeypatch is not None and force is not None:
+            monkeypatch.setenv("A2V_PALLAS_SERVE", force)
+        return Mlp(hidden_dim=256, out_dim=128, dropout=0.1, dtype=jnp.float32)
+
+    def test_fused_matches_unfused_and_same_param_tree(self, monkeypatch):
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.normal(size=(2, 64, 128)).astype(np.float32))
+
+        monkeypatch.setenv("A2V_PALLAS_SERVE", "0")
+        mlp = self._mk()
+        params = mlp.init({"params": jax.random.PRNGKey(0)}, x, True)
+        ref = mlp.apply(params, x, True)
+
+        monkeypatch.setenv("A2V_PALLAS_SERVE", "1")
+        params_f = mlp.init({"params": jax.random.PRNGKey(0)}, x, True)
+        assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(
+            params_f
+        )
+        out = mlp.apply(params, x, True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+    def test_training_path_stays_unfused(self, monkeypatch):
+        # non-deterministic call must keep the dropout-capable XLA path
+        monkeypatch.setenv("A2V_PALLAS_SERVE", "1")
+        mlp = self._mk()
+        rng = np.random.default_rng(8)
+        x = jnp.asarray(rng.normal(size=(1, 32, 128)).astype(np.float32))
+        params = mlp.init({"params": jax.random.PRNGKey(0)}, x, True)
+        out1 = mlp.apply(
+            params, x, False, rngs={"dropout": jax.random.PRNGKey(1)}
+        )
+        out2 = mlp.apply(
+            params, x, False, rngs={"dropout": jax.random.PRNGKey(2)}
+        )
+        # different dropout keys -> different outputs proves dropout engaged
+        assert not np.allclose(np.asarray(out1), np.asarray(out2))
+
+    def test_unaligned_dims_fall_back(self, monkeypatch):
+        from animal2vec_tpu.models.modules import Mlp
+
+        monkeypatch.setenv("A2V_PALLAS_SERVE", "1")
+        mlp = Mlp(hidden_dim=100, out_dim=96, dropout=0.0, dtype=jnp.float32)
+        rng = np.random.default_rng(9)
+        x = jnp.asarray(rng.normal(size=(1, 16, 96)).astype(np.float32))
+        params = mlp.init({"params": jax.random.PRNGKey(0)}, x, True)
+        out = mlp.apply(params, x, True)  # must not hit the 128-divisible assert
+        assert out.shape == (1, 16, 96)

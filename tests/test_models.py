@@ -363,6 +363,32 @@ class TestInt8Serving:
         rel = np.linalg.norm(got - base) / np.linalg.norm(base)
         assert rel < 0.02, rel
 
+    def test_int8_attn_model_routing_and_logits(self, rng, monkeypatch):
+        """model.matmul_impl=int8_attn routes through the int8 flash kernel
+        (forced via A2V_FLASH_INTERPRET on CPU) with the same param tree and
+        a bounded extra quantization error on top of int8 trunk matmuls."""
+        from animal2vec_tpu.models.finetune import FinetuneModel
+        from animal2vec_tpu.config import FinetuneModelConfig
+        import dataclasses as dc
+
+        monkeypatch.setenv("A2V_FLASH_INTERPRET", "1")
+        enc_cfg = tiny_model_cfg()
+        ft_cfg = FinetuneModelConfig(unique_labels=LABELS, average_top_k_layers=2)
+        src = jnp.asarray(rng.normal(size=(2, 800)).astype(np.float32))
+
+        m_bf = FinetuneModel(cfg=ft_cfg, encoder_cfg=enc_cfg)
+        v = m_bf.init({"params": jax.random.PRNGKey(0)}, src)
+        base = np.asarray(m_bf.apply(v, src)["encoder_out"], np.float32)
+
+        enc8 = dc.replace(enc_cfg, matmul_impl="int8_attn")
+        m_i8 = FinetuneModel(cfg=ft_cfg, encoder_cfg=enc8)
+        v8 = m_i8.init({"params": jax.random.PRNGKey(0)}, src)
+        assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v8)
+        got = np.asarray(m_i8.apply(v, src)["encoder_out"], np.float32)
+        assert np.max(np.abs(got - base)) < 0.08, np.max(np.abs(got - base))
+        rel = np.linalg.norm(got - base) / np.linalg.norm(base)
+        assert rel < 0.03, rel
+
 
 class TestLayerdrop:
     """Exact reference layerdrop tap semantics: the reference appends a

@@ -319,3 +319,62 @@ class TestKernelDropout:
                 np.asarray(a), np.asarray(r), rtol=2e-3, atol=2e-3,
                 err_msg=f"grad arg {i}",
             )
+
+
+class TestInt8Kernel:
+    """Serving-only int8 flash attention: both MXU products int8 (per-row
+    q/k scales with sm_scale folded into q, per-channel v scales, fixed
+    1/127 probability scale). Quantization bounds the error; these tests
+    pin it against the fp32 reference."""
+
+    def _setup(self, b=2, t=256, h=4, d=64, seed=31):
+        from animal2vec_tpu.ops.pallas_attention import alibi_flash_attention_int8
+
+        q, k, v = make_qkv(b, t, h, d, seed=seed)
+        slopes = jnp.asarray(alibi_slopes(h))
+        pos = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32)[None], (b, t))
+        return alibi_flash_attention_int8, q, k, v, slopes, pos
+
+    def _check(self, ours, ref, atol=0.08, rel_rms=0.05):
+        ours = np.asarray(ours, np.float32)
+        ref = np.asarray(ref, np.float32)
+        assert np.max(np.abs(ours - ref)) < atol, np.max(np.abs(ours - ref))
+        err = np.sqrt(np.mean((ours - ref) ** 2) / np.mean(ref**2))
+        assert err < rel_rms, err
+
+    def test_full_sequence(self):
+        fn, q, k, v, slopes, pos = self._setup()
+        ours = fn(q, k, v, slopes, pos, None, True, block_q=128, block_k=128)
+        ref = _reference_attention(q, k, v, slopes, pos, None)
+        assert ours.dtype == q.dtype and ours.shape == q.shape
+        self._check(ours, ref)
+
+    def test_padding_mask_and_unaligned_length(self):
+        fn, q, k, v, slopes, pos = self._setup(t=200, seed=32)  # pads to 256
+        mask = np.zeros((2, 200), bool)
+        mask[:, 180:] = True  # padded keys must not contribute
+        ours = fn(q, k, v, slopes, pos, jnp.asarray(mask), True,
+                  block_q=128, block_k=128)
+        ref = _reference_attention(q, k, v, slopes, pos, jnp.asarray(mask))
+        self._check(ours[:, :180], ref[:, :180])
+
+    def test_sentinel_and_gathered_positions(self):
+        fn, q, k, v, slopes, _ = self._setup(seed=33)
+        rng = np.random.default_rng(5)
+        pos = np.stack([
+            np.sort(rng.choice(2000, size=256, replace=False)) for _ in range(2)
+        ]).astype(np.int32)
+        pos[:, 0] = -1  # CLS sentinel: zero bias row/col
+        pos = jnp.asarray(pos)
+        ours = fn(q, k, v, slopes, pos, None, True, block_q=128, block_k=128)
+        ref = _reference_attention(q, k, v, slopes, pos, None)
+        self._check(ours, ref)
+
+    def test_bf16_inputs(self):
+        fn, q, k, v, slopes, pos = self._setup(seed=34)
+        ours = fn(q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+                  v.astype(jnp.bfloat16), slopes, pos, None, True,
+                  block_q=128, block_k=128)
+        assert ours.dtype == jnp.bfloat16
+        ref = _reference_attention(q, k, v, slopes, pos, None)
+        self._check(ours, ref, atol=0.1, rel_rms=0.06)
