@@ -458,13 +458,20 @@ class AltBlock(nn.Module):
     ):
         c = self.cfg
         norm = lambda name: Fp32LayerNorm(epsilon=c.norm_eps, use_affine=c.norm_affine, name=name)
+        # int8 placement is measured, not uniform (bench_block_probe.py,
+        # docs/PERF.md round 3): the fused int8 MLP wins 1.5 ms/layer, but
+        # int8 qkv/out projections LOSE ~3.5 ms/layer — the bf16 einsums
+        # emit the flash kernel's packed layout from the matmul epilogue for
+        # free, while a Pallas int8 producer forces explicit 400 MB/layer
+        # transposes. "int8" therefore quantizes the MLP only; "int8_attn"
+        # (the measured-and-rejected full-int8 mode) keeps int8 everywhere.
         attn = AltAttention(
             num_heads=c.num_heads,
             attn_drop=c.attention_dropout,
             proj_drop=c.encoder_dropout,
             dtype=self.dtype,
             impl=c.attn_impl,
-            int8=c.matmul_impl in ("int8", "int8_attn"),
+            int8=c.matmul_impl == "int8_attn",
             int8_attn=c.matmul_impl == "int8_attn",
             name="attn",
         )
