@@ -196,10 +196,14 @@ class Mlp(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         # deterministic makes both Dropouts identity, so the fused kernel is
         # exact regardless of self.dropout (the finetune configs carry
-        # activation_dropout=0.1 — gating on it kept the kernel off in serving)
-        fused = deterministic and pallas_serving_ok(
-            x.shape[-1], self.hidden_dim, self.out_dim
-        )
+        # activation_dropout=0.1 — gating on it kept the kernel off in serving).
+        # Training engages it too when self.dropout == 0.0 (the pretrain
+        # recipe): flax Dropout at rate 0 is identity and consumes no rng, and
+        # the bf16 kernel's custom_vjp recomputes through the XLA reference.
+        # int8 stays serving-only (the int8 kernel has no vjp).
+        fused = (
+            deterministic or (self.dropout == 0.0 and not self.int8)
+        ) and pallas_serving_ok(x.shape[-1], self.hidden_dim, self.out_dim)
         if fused:
             from animal2vec_tpu.ops.fused_mlp import fused_mlp
 

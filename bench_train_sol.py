@@ -115,25 +115,22 @@ def main():
             )
 
     if "full" in parts:
-        step = make_pretrain_train_step(model, cfg)
-
-        def body(c, i):
-            s, acc = c
-            s2, m = step(s, {"source": src[None]}, jax.random.fold_in(rng, i))
-            return (s2, acc + m["loss"].astype(jnp.float32)), None
-
-        iters = 6
-        g = jax.jit(
-            lambda s: jax.lax.scan(body, (s, jnp.float32(0.0)), jnp.arange(iters))[0][1]
-        )
+        # donated host-loop step, exactly like bench.py pretrain mode: a
+        # scan-of-steps defeats buffer donation (state copies OOM at b8);
+        # the ~26 ms relay RTT is ~2% of a ~1.1 s step — acceptable here
+        step_fn = jax.jit(make_pretrain_train_step(model, cfg), donate_argnums=(0,))
         t0 = time.perf_counter()
-        float(np.asarray(g(state)))
+        state, m = step_fn(state, {"source": src[None]}, jax.random.fold_in(rng, 0))
+        float(m["loss"])
         tc = time.perf_counter() - t0
+        iters = 5
         t0 = time.perf_counter()
-        v1 = float(np.asarray(g(state)))
-        v2 = float(np.asarray(g(state)))
-        dt = (time.perf_counter() - t0) / (2 * iters)
-        assert np.isfinite(v1) and np.isfinite(v2)
+        for i in range(iters):
+            state, m = step_fn(
+                state, {"source": src[None]}, jax.random.fold_in(rng, i + 1)
+            )
+            float(m["loss"])
+        dt = (time.perf_counter() - t0) / iters
         print(f"{'full step':40s} {dt * 1e3:9.2f} ms  {batch / dt:7.2f} clips/s  (compile {tc:.0f}s)", flush=True)
 
     if "fwd" in parts:

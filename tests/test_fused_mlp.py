@@ -155,6 +155,28 @@ class TestMlpModuleRouting:
         # different dropout keys -> different outputs proves dropout engaged
         assert not np.allclose(np.asarray(out1), np.asarray(out2))
 
+    def test_training_zero_dropout_fuses_with_matching_grads(self, monkeypatch):
+        # pretrain recipe (activation dropout 0.0): the non-deterministic
+        # call routes through the fused kernel and its custom_vjp must
+        # reproduce the XLA path's gradients
+        from animal2vec_tpu.models.modules import Mlp
+
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.normal(size=(2, 32, 128)).astype(np.float32))
+        mlp = Mlp(hidden_dim=256, out_dim=128, dropout=0.0, dtype=jnp.float32)
+        params = mlp.init({"params": jax.random.PRNGKey(0)}, x, True)
+
+        def loss(p, fused):
+            monkeypatch.setenv("A2V_PALLAS_SERVE", "1" if fused else "0")
+            out = mlp.apply(p, x, False, rngs={"dropout": jax.random.PRNGKey(1)})
+            return jnp.sum(out**2)
+
+        v_f, g_f = jax.value_and_grad(lambda p: loss(p, True))(params)
+        v_r, g_r = jax.value_and_grad(lambda p: loss(p, False))(params)
+        np.testing.assert_allclose(float(v_f), float(v_r), rtol=1e-4)
+        for a, b in zip(jax.tree_util.tree_leaves(g_f), jax.tree_util.tree_leaves(g_r)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
     def test_unaligned_dims_fall_back(self, monkeypatch):
         from animal2vec_tpu.models.modules import Mlp
 
