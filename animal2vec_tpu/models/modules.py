@@ -162,6 +162,21 @@ class Int8Dense(nn.Module):
         return y
 
 
+class _NormParams(nn.Module):
+    """Parameter-only stand-in for Fp32LayerNorm (same scale/bias tree);
+    returns (None, None) when the norm has no affine params."""
+
+    use_affine: bool = True
+
+    @nn.compact
+    def __call__(self, c: int):
+        if not self.use_affine:
+            return None, None
+        s = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return s, b
+
+
 class _DenseParams(nn.Module):
     """Parameter-only stand-in for nn.Dense: declares the identical
     kernel/bias tree (so checkpoints/converters are oblivious) and returns
@@ -174,6 +189,21 @@ class _DenseParams(nn.Module):
         k = self.param("kernel", default_kernel_init, (c_in, self.features), jnp.float32)
         b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
         return k, b
+
+
+class _MlpParams(nn.Module):
+    """Parameter-only stand-in for the whole Mlp module (fc1 + fc2 trees),
+    for the fused block kernel that consumes the MLP *and* its surrounding
+    norms in one pallas_call (ops/fused_mlp.fused_block_mlp)."""
+
+    hidden_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, c_in: int):
+        k1, b1 = _DenseParams(self.hidden_dim, name="fc1")(c_in)
+        k2, b2 = _DenseParams(self.out_dim, name="fc2")(self.hidden_dim)
+        return k1, b1, k2, b2
 
 
 class Mlp(nn.Module):
@@ -479,17 +509,20 @@ class AltBlock(nn.Module):
             int8_attn=c.matmul_impl == "int8_attn",
             name="attn",
         )
-        mlp_cls = Mlp
-        if self.remat_mlp:
-            mlp_cls = nn.remat(Mlp, static_argnums=(2,), prevent_cse=False)
-        mlp = mlp_cls(
-            hidden_dim=int(c.dim * c.mlp_ratio),
-            out_dim=c.dim,
-            dropout=c.activation_dropout,
-            dtype=self.dtype,
-            int8=c.matmul_impl in ("int8", "int8_attn"),
-            name="mlp",
-        )
+        def make_mlp():
+            # constructed lazily: flax registers the "mlp" scope name at
+            # construction, and the fused-block path claims it via _MlpParams
+            mlp_cls = Mlp
+            if self.remat_mlp:
+                mlp_cls = nn.remat(Mlp, static_argnums=(2,), prevent_cse=False)
+            return mlp_cls(
+                hidden_dim=int(c.dim * c.mlp_ratio),
+                out_dim=c.dim,
+                dropout=c.activation_dropout,
+                dtype=self.dtype,
+                int8=c.matmul_impl in ("int8", "int8_attn"),
+                name="mlp",
+            )
 
         def dp(y):
             if deterministic:
@@ -500,20 +533,49 @@ class AltBlock(nn.Module):
 
         if c.layer_norm_first:
             x = x + dp(attn(norm("norm1")(x), padding_mask, bias, deterministic))
-            r = t = mlp(norm("norm2")(x), deterministic)
+            r = t = make_mlp()(norm("norm2")(x), deterministic)
             x = r + dp(post_drop(t, deterministic=deterministic))
             if not c.ffn_targets:
                 t = x
         else:
             x = x + dp(attn(x, padding_mask, bias, deterministic))
-            r = norm("norm1")(x)
-            t = mlp(r, deterministic)
-            # barrier: XLA otherwise fuses norm2's reduction into fc2's
-            # epilogue, halving the fc2 matmul throughput (profiled on v5e)
-            z = jax.lax.optimization_barrier(
-                r + dp(post_drop(t, deterministic=deterministic))
-            )
-            x = norm("norm2")(z)
+            hidden = int(c.dim * c.mlp_ratio)
+            # Serving: the whole post-LN MLP sub-block — LN1, fc1/GELU/fc2,
+            # residual add, LN2 — runs as ONE Pallas kernel; r, t and z never
+            # round-trip HBM (~0.8 GB/layer at a2v-large serving shapes).
+            # deterministic makes every dropout in this branch identity, so
+            # the fusion is exact. Param trees are unchanged (_NormParams /
+            # _MlpParams mirror Fp32LayerNorm / Mlp).
+            fused_blk = deterministic and pallas_serving_ok(c.dim, hidden)
+            if fused_blk:
+                from animal2vec_tpu.ops.fused_mlp import fused_block_mlp
+
+                l1s, l1b = _NormParams(use_affine=c.norm_affine, name="norm1")(c.dim)
+                l2s, l2b = _NormParams(use_affine=c.norm_affine, name="norm2")(c.dim)
+                k1, b1p, k2, b2p = _MlpParams(hidden, c.dim, name="mlp")(c.dim)
+                if c.matmul_impl in ("int8", "int8_attn"):
+                    from animal2vec_tpu.ops.int8_mm import quantize_weight
+
+                    w1q, w1s = quantize_weight(k1)
+                    w2q, w2s = quantize_weight(k2)
+                    x, t = fused_block_mlp(
+                        x, l1s, l1b, w1q, w2q, b1p, b2p, l2s, l2b,
+                        c.norm_eps, w1s, w2s,
+                    )
+                else:
+                    x, t = fused_block_mlp(
+                        x, l1s, l1b, k1.astype(self.dtype), k2.astype(self.dtype),
+                        b1p, b2p, l2s, l2b, c.norm_eps,
+                    )
+            else:
+                r = norm("norm1")(x)
+                t = make_mlp()(r, deterministic)
+                # barrier: XLA otherwise fuses norm2's reduction into fc2's
+                # epilogue, halving the fc2 matmul throughput (profiled on v5e)
+                z = jax.lax.optimization_barrier(
+                    r + dp(post_drop(t, deterministic=deterministic))
+                )
+                x = norm("norm2")(z)
             if not c.ffn_targets:
                 t = x
         return x, t

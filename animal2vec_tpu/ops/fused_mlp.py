@@ -143,6 +143,301 @@ def _kernel_bf16(
         o_ref[...] = (acc_scr[...] + b2_ref[...]).astype(o_ref.dtype)
 
 
+def _ln_rows(xf, s_ref, b_ref, eps):
+    """Row-wise fp32 LayerNorm with affine (Fp32LayerNorm semantics:
+    fp32 stats regardless of storage dtype)."""
+    mean = jnp.mean(xf, axis=1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return y * s_ref[...] + b_ref[...]
+
+
+def _kernel_bf16_block(
+    x_ref,     # VMEM (bn, C) — post-attention residual stream
+    l1s_ref,   # VMEM (1, C) f32  LN1 scale
+    l1b_ref,   # VMEM (1, C) f32  LN1 bias
+    w1_ref,    # VMEM (C, bm) bf16
+    b1_ref,    # VMEM (1, bm) f32
+    w2_ref,    # VMEM (bm, C) bf16
+    b2_ref,    # VMEM (1, C) f32
+    l2s_ref,   # VMEM (1, C) f32  LN2 scale
+    l2b_ref,   # VMEM (1, C) f32  LN2 bias
+    xo_ref,    # VMEM (bn, C) out — LN2(r + mlp(r))
+    t_ref,     # VMEM (bn, C) out — mlp(r) tap (ffn target)
+    r_scr,     # VMEM (bn, C) storage dtype — r = LN1(x) cast back
+    acc_scr,   # VMEM (bn, C) f32
+    *,
+    n_m: int,
+    eps: float,
+):
+    mi = pl.program_id(1)
+
+    @pl.when(mi == 0)
+    def _init():
+        r = _ln_rows(x_ref[...].astype(jnp.float32), l1s_ref, l1b_ref, eps)
+        r_scr[...] = r.astype(r_scr.dtype)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    h = jax.lax.dot_general(
+        r_scr[...], w1_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    h = _gelu_exact(h + b1_ref[...])
+    acc_scr[...] += jax.lax.dot_general(
+        h.astype(w2_ref.dtype), w2_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(mi == n_m - 1)
+    def _finish():
+        t = (acc_scr[...] + b2_ref[...]).astype(t_ref.dtype)
+        t_ref[...] = t
+        # z = r + t in storage dtype (matches the XLA path's bf16 add),
+        # then LN2 with fp32 stats
+        z = (r_scr[...] + t.astype(r_scr.dtype)).astype(jnp.float32)
+        xo_ref[...] = _ln_rows(z, l2s_ref, l2b_ref, eps).astype(xo_ref.dtype)
+
+
+def _kernel_int8_block(
+    x_ref,     # VMEM (bn, C) storage dtype
+    l1s_ref,   # VMEM (1, C) f32
+    l1b_ref,   # VMEM (1, C) f32
+    w1_ref,    # VMEM (C, bm) int8
+    w1s_ref,   # VMEM (1, bm) f32
+    b1_ref,    # VMEM (1, bm) f32
+    w2_ref,    # VMEM (bm, C) int8
+    w2s_ref,   # VMEM (1, C) f32
+    b2_ref,    # VMEM (1, C) f32
+    l2s_ref,   # VMEM (1, C) f32
+    l2b_ref,   # VMEM (1, C) f32
+    xo_ref,    # VMEM (bn, C)
+    t_ref,     # VMEM (bn, C)
+    r_scr,     # VMEM (bn, C) storage dtype — r = LN1(x)
+    xq_scr,    # VMEM (bn, C) int8
+    xs_scr,    # VMEM (bn, 1) f32
+    acc_scr,   # VMEM (bn, C) f32
+    *,
+    n_m: int,
+    eps: float,
+):
+    mi = pl.program_id(1)
+
+    @pl.when(mi == 0)
+    def _init():
+        r = _ln_rows(x_ref[...].astype(jnp.float32), l1s_ref, l1b_ref, eps)
+        r_scr[...] = r.astype(r_scr.dtype)
+        # quantize the *cast-back* r (identical to quantized_matmul's view)
+        rq = r_scr[...].astype(jnp.float32)
+        s = jnp.maximum(jnp.max(jnp.abs(rq), axis=1, keepdims=True) / 127.0, 1e-12)
+        xs_scr[...] = s
+        xq_scr[...] = jnp.round(rq / s).astype(jnp.int8)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    h = jax.lax.dot_general(
+        xq_scr[...], w1_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    h = h * xs_scr[...] * w1s_ref[...] + b1_ref[...]
+    h = _gelu_exact(h)
+    hs = jnp.maximum(jnp.max(jnp.abs(h), axis=1, keepdims=True) / 127.0, 1e-12)
+    hq = jnp.round(h / hs).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        hq, w2_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    acc_scr[...] += acc * hs * w2s_ref[...]
+
+    @pl.when(mi == n_m - 1)
+    def _finish():
+        t = (acc_scr[...] + b2_ref[...]).astype(t_ref.dtype)
+        t_ref[...] = t
+        z = (r_scr[...] + t.astype(r_scr.dtype)).astype(jnp.float32)
+        xo_ref[...] = _ln_rows(z, l2s_ref, l2b_ref, eps).astype(xo_ref.dtype)
+
+
+def fused_block_mlp(
+    x: jnp.ndarray,                          # (..., C) — post-attention stream
+    ln1_scale: Optional[jnp.ndarray],        # (C,) f32 or None (no affine)
+    ln1_bias: Optional[jnp.ndarray],
+    w1: jnp.ndarray,                         # (C, M) — int8 when w1_scale given
+    w2: jnp.ndarray,                         # (M, C)
+    b1: Optional[jnp.ndarray],
+    b2: Optional[jnp.ndarray],
+    ln2_scale: Optional[jnp.ndarray],
+    ln2_bias: Optional[jnp.ndarray],
+    eps: float = 1e-5,
+    w1_scale: Optional[jnp.ndarray] = None,
+    w2_scale: Optional[jnp.ndarray] = None,
+    # block_n 256 (not the plain kernel's 512): the extra r/tap buffers put
+    # the 512-row variant 680 KB over v5e's 16 MB scoped-vmem stack limit
+    block_n: int = 256,
+    block_m: int = 1024,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Whole post-LN MLP sub-block in one kernel:
+
+        r = LN1(x);  t = MLP(r);  x_out = LN2(r + t)
+
+    (AltBlock's post-norm branch, reference nn/modalities/modules.py:318-330).
+    Returns ``(x_out, t)`` — ``t`` is the ffn-target layer tap. Versus the
+    LN-outside composition this keeps ``r``, ``t`` and ``z = r + t`` out of
+    HBM (~0.8 GB/layer at serving shapes). LayerNorm statistics are fp32
+    (Fp32LayerNorm semantics); the residual add runs in the storage dtype,
+    matching the unfused path bit-for-bit in spirit (bf16 add)."""
+    int8 = w1_scale is not None
+    *lead, c = x.shape
+    m = w1.shape[1]
+    assert w1.shape[0] == c and w2.shape == (m, c), (x.shape, w1.shape, w2.shape)
+    assert c % 128 == 0, c
+    block_m = min(block_m, m)
+    while m % block_m:
+        block_m //= 2
+    n = 1
+    for d in lead:
+        n *= d
+    x2 = x.reshape(n, c)
+    block_n = min(block_n, _ceil_to(n, 32))
+
+    def vec(v, size, fill):
+        if v is None:
+            return jnp.full((1, size), fill, jnp.float32)
+        return v.astype(jnp.float32).reshape(1, size)
+
+    l1s, l1b = vec(ln1_scale, c, 1.0), vec(ln1_bias, c, 0.0)
+    l2s, l2b = vec(ln2_scale, c, 1.0), vec(ln2_bias, c, 0.0)
+    b1v, b2v = vec(b1, m, 0.0), vec(b2, c, 0.0)
+
+    if int8:
+        xo, t = _pallas_int8_block(
+            x2,
+            l1s, l1b, w1, w1_scale.astype(jnp.float32).reshape(1, m), b1v,
+            w2, w2_scale.astype(jnp.float32).reshape(1, c), b2v, l2s, l2b,
+            block_n, block_m, eps,
+        )
+    else:
+        wdt = x.dtype if x.dtype != jnp.float32 else jnp.float32
+        xo, t = _fused_block_bf16(
+            x2, l1s, l1b, w1.astype(wdt), b1v, w2.astype(wdt), b2v, l2s, l2b,
+            block_n, block_m, eps,
+        )
+    return (
+        xo.reshape(*lead, c),
+        t.reshape(*lead, c),
+    )
+
+
+def _pallas_int8_block(x2, l1s, l1b, w1, w1s, b1v, w2, w2s, b2v, l2s, l2b,
+                       block_n, block_m, eps):
+    n, c = x2.shape
+    m = w1.shape[1]
+    n_pad, common = _grid_common(n, c, block_n, block_m, m, x2.dtype)
+    common["out_specs"] = [common["out_specs"], common["out_specs"]]
+    common["out_shape"] = [common["out_shape"], common["out_shape"]]
+    if n_pad != n:
+        x2 = jnp.pad(x2, ((0, n_pad - n), (0, 0)))
+    n_m = common["grid"][1]
+    cvec = lambda: pl.BlockSpec((1, c), lambda ni, mi: (0, 0))
+    mvec = lambda: pl.BlockSpec((1, block_m), lambda ni, mi: (0, mi))
+    xo, t = pl.pallas_call(
+        functools.partial(_kernel_int8_block, n_m=n_m, eps=eps),
+        in_specs=[
+            pl.BlockSpec((block_n, c), lambda ni, mi: (ni, 0)),
+            cvec(), cvec(),
+            pl.BlockSpec((c, block_m), lambda ni, mi: (0, mi)),
+            mvec(), mvec(),
+            pl.BlockSpec((block_m, c), lambda ni, mi: (mi, 0)),
+            cvec(), cvec(), cvec(), cvec(),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_n, c), x2.dtype),
+            pltpu.VMEM((block_n, c), jnp.int8),
+            pltpu.VMEM((block_n, 1), jnp.float32),
+            pltpu.VMEM((block_n, c), jnp.float32),
+        ],
+        **common,
+    )(x2, l1s, l1b, w1, w1s, b1v, w2, w2s, b2v, l2s, l2b)
+    return xo[:n], t[:n]
+
+
+def _pallas_bf16_block(x2, l1s, l1b, w1, b1v, w2, b2v, l2s, l2b,
+                       block_n, block_m, eps):
+    n, c = x2.shape
+    m = w1.shape[1]
+    n_pad, common = _grid_common(n, c, block_n, block_m, m, x2.dtype)
+    common["out_specs"] = [common["out_specs"], common["out_specs"]]
+    common["out_shape"] = [common["out_shape"], common["out_shape"]]
+    if n_pad != n:
+        x2 = jnp.pad(x2, ((0, n_pad - n), (0, 0)))
+    n_m = common["grid"][1]
+    cvec = lambda: pl.BlockSpec((1, c), lambda ni, mi: (0, 0))
+    mvec = lambda: pl.BlockSpec((1, block_m), lambda ni, mi: (0, mi))
+    xo, t = pl.pallas_call(
+        functools.partial(_kernel_bf16_block, n_m=n_m, eps=eps),
+        in_specs=[
+            pl.BlockSpec((block_n, c), lambda ni, mi: (ni, 0)),
+            cvec(), cvec(),
+            pl.BlockSpec((c, block_m), lambda ni, mi: (0, mi)),
+            mvec(),
+            pl.BlockSpec((block_m, c), lambda ni, mi: (mi, 0)),
+            cvec(), cvec(), cvec(),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_n, c), x2.dtype),
+            pltpu.VMEM((block_n, c), jnp.float32),
+        ],
+        **common,
+    )(x2, l1s, l1b, w1, b1v, w2, b2v, l2s, l2b)
+    return xo[:n], t[:n]
+
+
+def _ref_block_bf16(x2, l1s, l1b, w1, b1v, w2, b2v, l2s, l2b, eps):
+    """XLA reference of the bf16 block kernel's numerics — the custom_vjp
+    recompute backward and the interpret-mode oracle."""
+
+    def ln(z, s, b):
+        zf = z.astype(jnp.float32)
+        mean = jnp.mean(zf, axis=1, keepdims=True)
+        var = jnp.mean(jnp.square(zf - mean), axis=1, keepdims=True)
+        return (zf - mean) * jax.lax.rsqrt(var + eps) * s + b
+
+    r = ln(x2, l1s, l1b).astype(x2.dtype)
+    t = _ref_mlp_bf16(r, w1, b1v, b2v, w2)
+    z = r + t.astype(x2.dtype)
+    xo = ln(z, l2s, l2b).astype(x2.dtype)
+    return xo, t
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
+def _fused_block_bf16(x2, l1s, l1b, w1, b1v, w2, b2v, l2s, l2b,
+                      block_n, block_m, eps):
+    return _pallas_bf16_block(
+        x2, l1s, l1b, w1, b1v, w2, b2v, l2s, l2b, block_n, block_m, eps
+    )
+
+
+def _fused_block_bf16_fwd(x2, l1s, l1b, w1, b1v, w2, b2v, l2s, l2b,
+                          block_n, block_m, eps):
+    out = _pallas_bf16_block(
+        x2, l1s, l1b, w1, b1v, w2, b2v, l2s, l2b, block_n, block_m, eps
+    )
+    return out, (x2, l1s, l1b, w1, b1v, w2, b2v, l2s, l2b)
+
+
+def _fused_block_bf16_bwd(block_n, block_m, eps, res, g):
+    x2, l1s, l1b, w1, b1v, w2, b2v, l2s, l2b = res
+    _, vjp = jax.vjp(
+        lambda *a: _ref_block_bf16(*a, eps), x2, l1s, l1b, w1, b1v, w2, b2v,
+        l2s, l2b,
+    )
+    return vjp(g)
+
+
+_fused_block_bf16.defvjp(_fused_block_bf16_fwd, _fused_block_bf16_bwd)
+
+
 def _ref_mlp_bf16(x, w1, b1v, b2v, w2):
     """XLA reference of the bf16 kernel's numerics (fp32 accumulation,
     fp32 exact GELU) — used as the custom_vjp recompute backward."""

@@ -53,18 +53,25 @@ def build(batch):
 
 
 def chain(name, fn, *args, iters=6, clips=None):
-    """fn(*args, i) -> scalar; scan-chained, timed twice."""
+    """fn(*args, i) -> scalar; scan-chained, timed twice.
 
-    def body(c, i):
-        return c + fn(*args, i).astype(jnp.float32), None
+    args go through jit as runtime operands — closing over them bakes the
+    full param tree into the lowered module as constants (2.5 GB), which
+    the remote-compile transport rejects."""
 
-    g = jax.jit(lambda: jax.lax.scan(body, jnp.float32(0.0), jnp.arange(iters))[0])
+    def g_impl(*a):
+        def body(c, i):
+            return c + fn(*a, i).astype(jnp.float32), None
+
+        return jax.lax.scan(body, jnp.float32(0.0), jnp.arange(iters))[0]
+
+    g = jax.jit(g_impl)
     t0 = time.perf_counter()
-    v = float(np.asarray(g()))
+    v = float(np.asarray(g(*args)))
     t_compile = time.perf_counter() - t0
     t0 = time.perf_counter()
-    v1 = float(np.asarray(g()))
-    v2 = float(np.asarray(g()))
+    v1 = float(np.asarray(g(*args)))
+    v2 = float(np.asarray(g(*args)))
     dt = (time.perf_counter() - t0) / (2 * iters)
     assert np.isfinite(v1) and np.isfinite(v2), (name, v1, v2)
     extra = f"  {clips / dt:7.2f} clips/s" if clips else ""
@@ -148,7 +155,7 @@ def main():
         local = model.apply(variables, src, mode, True, method=Data2VecMulti.local_features)
         teacher_vars = {"params": merge_params(state.params, state.ema_params)}
 
-        def teach(local, i):
+        def teach(teacher_vars, local, i):
             _, t_acc, _, _ = model.apply(
                 teacher_vars,
                 local + 0.0 * i,
@@ -159,7 +166,10 @@ def main():
             )
             return t_acc.astype(jnp.float32).mean()
 
-        chain("teacher forward (streamed targets)", teach, local, clips=batch)
+        chain(
+            "teacher forward (streamed targets)", teach, teacher_vars, local,
+            clips=batch,
+        )
 
     if "student" in parts or "frontend" in parts:
         from animal2vec_tpu.ops.masking import (
@@ -169,19 +179,19 @@ def main():
         variables = {"params": state.params}
 
         if "frontend" in parts:
-            def front(i):
+            def front(variables, i):
                 lf = model.apply(
                     variables, src + 0.0 * i, mode, True,
                     method=Data2VecMulti.local_features,
                 )
                 return lf.astype(jnp.float32).mean()
 
-            chain("conv frontend (local_features)", front, clips=batch)
+            chain("conv frontend (local_features)", front, variables, clips=batch)
 
         if "student" in parts:
             clone = cfg.model.clone_batch
 
-            def stud(i):
+            def stud(variables, i):
                 r = jax.random.fold_in(rng, i)
                 r_mask, r_student, r_dec = jax.random.split(r, 3)
                 local = model.apply(
@@ -209,34 +219,36 @@ def main():
                 )
                 return sum(v.astype(jnp.float32).mean() for v in jax.tree_util.tree_leaves(xs))
 
-            chain("student fwd (frontend+encode+decode)", stud, clips=batch)
+            chain(
+                "student fwd (frontend+encode+decode)", stud, variables,
+                clips=batch,
+            )
 
     if "update" in parts:
         grads = jax.tree_util.tree_map(
             lambda p: jnp.ones_like(p) * 1e-6, state.params
         )
 
-        def upd(s, i):
-            s2 = s.apply_gradients(
-                jax.tree_util.tree_map(lambda g: g * (1.0 + 0.0 * i), grads),
-                cfg.model,
-            )
-            return s2
+        def g_impl(s, grads):
+            def body(c, i):
+                s2 = c.apply_gradients(
+                    jax.tree_util.tree_map(lambda g: g * (1.0 + 0.0 * i), grads),
+                    cfg.model,
+                )
+                return s2, None
 
-        def body(c, i):
-            s = upd(c, i)
-            return s, None
+            return jax.lax.scan(body, s, jnp.arange(iters))[0].step.astype(
+                jnp.float32
+            )
 
         iters = 8
-        g = jax.jit(
-            lambda s: jax.lax.scan(body, s, jnp.arange(iters))[0].step.astype(jnp.float32)
-        )
+        g = jax.jit(g_impl)
         t0 = time.perf_counter()
-        float(np.asarray(g(state)))
+        float(np.asarray(g(state, grads)))
         tc = time.perf_counter() - t0
         t0 = time.perf_counter()
-        float(np.asarray(g(state)))
-        float(np.asarray(g(state)))
+        float(np.asarray(g(state, grads)))
+        float(np.asarray(g(state, grads)))
         dt = (time.perf_counter() - t0) / (2 * iters)
         print(f"{'optimizer + EMA update only':40s} {dt * 1e3:9.2f} ms  (compile {tc:.0f}s)", flush=True)
 

@@ -114,6 +114,169 @@ class TestFusedInt8:
         assert rel_rms < 0.03, rel_rms
 
 
+def make_ln(c, seed):
+    rng = np.random.default_rng(seed)
+    return (
+        jnp.asarray(1 + 0.1 * rng.normal(size=(c,)).astype(np.float32)),
+        jnp.asarray(0.1 * rng.normal(size=(c,)).astype(np.float32)),
+        jnp.asarray(1 + 0.1 * rng.normal(size=(c,)).astype(np.float32)),
+        jnp.asarray(0.1 * rng.normal(size=(c,)).astype(np.float32)),
+    )
+
+
+def ref_block(x, l1s, l1b, w1, b1, w2, b2, l2s, l2b, eps=1e-5):
+    def ln(z, s, b):
+        zf = z.astype(jnp.float32)
+        mean = zf.mean(axis=-1, keepdims=True)
+        var = zf.var(axis=-1, keepdims=True)
+        return (zf - mean) * jax.lax.rsqrt(var + eps) * s + b
+
+    r = ln(x, l1s, l1b).astype(x.dtype)
+    t = ref_mlp(r, w1, b1, w2, b2).astype(x.dtype)
+    return ln(r + t, l2s, l2b).astype(x.dtype), t
+
+
+class TestFusedBlock:
+    """LN1 -> MLP -> +residual -> LN2 in one kernel (fused_block_mlp)."""
+
+    def test_matches_reference_with_row_padding(self):
+        from animal2vec_tpu.ops.fused_mlp import fused_block_mlp
+
+        x, w1, b1, w2, b2 = make(150, 128, 256, 128, seed=20)
+        l1s, l1b, l2s, l2b = make_ln(128, 21)
+        x3 = x.reshape(3, 50, 128)
+        xo, t = fused_block_mlp(
+            x3, l1s, l1b, w1, w2, b1, b2, l2s, l2b, 1e-5,
+            block_n=64, block_m=128,
+        )
+        assert xo.shape == (3, 50, 128) and t.shape == (3, 50, 128)
+        ro, rt = ref_block(x, l1s, l1b, w1, b1, w2, b2, l2s, l2b)
+        np.testing.assert_allclose(
+            np.asarray(xo).reshape(150, 128), np.asarray(ro), rtol=1e-4, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(t).reshape(150, 128), np.asarray(rt), rtol=1e-4, atol=1e-4
+        )
+
+    def test_no_affine_norms(self):
+        from animal2vec_tpu.ops.fused_mlp import fused_block_mlp
+
+        x, w1, b1, w2, b2 = make(64, 128, 128, 128, seed=22)
+        ones = jnp.ones((128,), jnp.float32)
+        zeros = jnp.zeros((128,), jnp.float32)
+        xo, t = fused_block_mlp(
+            x, None, None, w1, w2, b1, b2, None, None, 1e-5,
+            block_n=64, block_m=128,
+        )
+        ro, rt = ref_block(x, ones, zeros, w1, b1, w2, b2, ones, zeros)
+        np.testing.assert_allclose(np.asarray(xo), np.asarray(ro), rtol=1e-4, atol=1e-4)
+
+    def test_grad_matches_reference_linear_cotangents(self):
+        # fixed linear cotangents make the comparison independent of the
+        # primal's fp32 summation-order noise (a squared loss amplifies it)
+        from animal2vec_tpu.ops.fused_mlp import fused_block_mlp, _ref_block_bf16
+
+        x, w1, b1, w2, b2 = make(64, 128, 128, 128, seed=23)
+        l1s, l1b, l2s, l2b = make_ln(128, 24)
+        rng = np.random.default_rng(25)
+        go = jnp.asarray(rng.normal(size=(64, 128)).astype(np.float32))
+        gt = jnp.asarray(rng.normal(size=(64, 128)).astype(np.float32))
+
+        def loss_fused(x, w1, b1, w2, b2, l1s, l1b, l2s, l2b):
+            xo, t = fused_block_mlp(
+                x, l1s, l1b, w1, w2, b1, b2, l2s, l2b, 1e-5,
+                block_n=64, block_m=128,
+            )
+            return jnp.sum(xo * go) + jnp.sum(t * gt)
+
+        def loss_ref(x, w1, b1, w2, b2, l1s, l1b, l2s, l2b):
+            xo, t = _ref_block_bf16(
+                x, l1s.reshape(1, -1), l1b.reshape(1, -1), w1,
+                b1.reshape(1, -1), w2, b2.reshape(1, -1),
+                l2s.reshape(1, -1), l2b.reshape(1, -1), 1e-5,
+            )
+            return jnp.sum(xo * go) + jnp.sum(t * gt)
+
+        args = (x, w1, b1, w2, b2, l1s, l1b, l2s, l2b)
+        g_f = jax.grad(loss_fused, argnums=tuple(range(9)))(*args)
+        g_r = jax.grad(loss_ref, argnums=tuple(range(9)))(*args)
+        for a, b in zip(g_f, g_r):
+            np.testing.assert_allclose(
+                np.asarray(a).ravel(), np.asarray(b).ravel(), rtol=1e-4, atol=1e-5
+            )
+
+    def test_int8_close_to_fp32(self):
+        from animal2vec_tpu.ops.fused_mlp import fused_block_mlp
+
+        x, w1, b1, w2, b2 = make(128, 128, 256, 128, seed=26)
+        l1s, l1b, l2s, l2b = make_ln(128, 27)
+        w1q, w1s = quantize_weight(w1)
+        w2q, w2s = quantize_weight(w2)
+        xo, t = fused_block_mlp(
+            x, l1s, l1b, w1q, w2q, b1, b2, l2s, l2b, 1e-5, w1s, w2s,
+            block_n=64, block_m=128,
+        )
+        ro, rt = ref_block(x, l1s, l1b, w1, b1, w2, b2, l2s, l2b)
+        rel = np.sqrt(np.mean((np.asarray(xo) - np.asarray(ro)) ** 2) / np.mean(np.asarray(ro) ** 2))
+        assert rel < 0.05, rel
+
+
+class TestAltBlockFusedRouting:
+    """AltBlock post-LN serving routes the whole MLP sub-block through
+    fused_block_mlp; param tree and outputs must match the unfused path."""
+
+    def _mk(self, **kw):
+        from animal2vec_tpu.models.modules import AltBlock, BlockConfig
+
+        cfg = BlockConfig(
+            dim=128, num_heads=2, mlp_ratio=2.0, layer_norm_first=False,
+            **kw,
+        )
+        return AltBlock(cfg=cfg)
+
+    def test_fused_matches_unfused_same_tree(self, monkeypatch):
+        rng = np.random.default_rng(30)
+        x = jnp.asarray(rng.normal(size=(2, 64, 128)).astype(np.float32))
+
+        monkeypatch.setenv("A2V_PALLAS_SERVE", "0")
+        blk = self._mk()
+        params = blk.init({"params": jax.random.PRNGKey(0)}, x)
+        ro, rt = blk.apply(params, x)
+
+        monkeypatch.setenv("A2V_PALLAS_SERVE", "1")
+        params_f = blk.init({"params": jax.random.PRNGKey(0)}, x)
+        assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(params_f)
+        xo, t = blk.apply(params, x)
+        np.testing.assert_allclose(np.asarray(xo), np.asarray(ro), rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(t), np.asarray(rt), rtol=1e-4, atol=1e-4)
+
+    def test_block_output_tap_when_not_ffn_targets(self, monkeypatch):
+        rng = np.random.default_rng(31)
+        x = jnp.asarray(rng.normal(size=(1, 32, 128)).astype(np.float32))
+        monkeypatch.setenv("A2V_PALLAS_SERVE", "1")
+        blk = self._mk(ffn_targets=False)
+        params = blk.init({"params": jax.random.PRNGKey(0)}, x)
+        xo, t = blk.apply(params, x)
+        np.testing.assert_array_equal(np.asarray(xo), np.asarray(t))
+
+    def test_training_path_stays_unfused(self, monkeypatch):
+        # dropout active -> must not route through the deterministic kernel
+        rng = np.random.default_rng(32)
+        x = jnp.asarray(rng.normal(size=(1, 32, 128)).astype(np.float32))
+        monkeypatch.setenv("A2V_PALLAS_SERVE", "1")
+        blk = self._mk(activation_dropout=0.5)
+        params = blk.init({"params": jax.random.PRNGKey(0)}, x)
+        o1, _ = blk.apply(
+            params, x, None, None, 0.0, False,
+            rngs={"dropout": jax.random.PRNGKey(1)},
+        )
+        o2, _ = blk.apply(
+            params, x, None, None, 0.0, False,
+            rngs={"dropout": jax.random.PRNGKey(2)},
+        )
+        assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+
 class TestMlpModuleRouting:
     def _mk(self, monkeypatch=None, force=None):
         from animal2vec_tpu.models.modules import Mlp
