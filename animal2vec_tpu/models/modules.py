@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 from typing import Any, Callable, Optional, Tuple
 
 import jax
@@ -546,7 +547,25 @@ class AltBlock(nn.Module):
             # deterministic makes every dropout in this branch identity, so
             # the fusion is exact. Param trees are unchanged (_NormParams /
             # _MlpParams mirror Fp32LayerNorm / Mlp).
-            fused_blk = deterministic and pallas_serving_ok(c.dim, hidden)
+            #
+            # Training engages it too when every dropout on this branch is
+            # statically zero (the pretrain recipe: activation/post-mlp
+            # dropout 0.0, no drop-path — BlockStack passes rate as a python
+            # 0.0 then): the bf16 kernel's custom_vjp recomputes through the
+            # XLA reference, which doubles as mlp-scope remat (only the
+            # block inputs are saved). int8 has no vjp and stays serving-only.
+            # A2V_FUSED_BLOCK_TRAIN=0 confines it to deterministic calls.
+            branch_dropout_free = (
+                c.activation_dropout == 0.0
+                and c.post_mlp_drop == 0.0
+                and isinstance(drop_path_rate, (int, float))
+                and float(drop_path_rate) == 0.0
+                and c.matmul_impl not in ("int8", "int8_attn")
+                and os.environ.get("A2V_FUSED_BLOCK_TRAIN", "1") != "0"
+            )
+            fused_blk = (
+                deterministic or branch_dropout_free
+            ) and pallas_serving_ok(c.dim, hidden)
             if fused_blk:
                 from animal2vec_tpu.ops.fused_mlp import fused_block_mlp
 

@@ -143,6 +143,26 @@ def _kernel_bf16(
         o_ref[...] = (acc_scr[...] + b2_ref[...]).astype(o_ref.dtype)
 
 
+def _hash_keep(seed, rows, cols, rate: float):
+    """Murmur-style finalizer keep mask over (seed, global_row, global_col) —
+    the same construction as the attention kernel's in-kernel dropout
+    (ops/pallas_attention._dropout_keep). Pure uint32 VPU ops, so the exact
+    mask regenerates in the XLA recompute backward regardless of tiling.
+    rows: (bn, 1) int32 global row indices; cols: (1, bk) int32."""
+    z = (
+        rows.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
+        + cols.astype(jnp.uint32) * jnp.uint32(0x85EBCA77)
+    )
+    z = z ^ seed.astype(jnp.uint32)
+    z = z ^ (z >> 15)
+    z = z * jnp.uint32(0x2C1B3C6D)
+    z = z ^ (z >> 12)
+    z = z * jnp.uint32(0x297A2D39)
+    z = z ^ (z >> 15)
+    thresh = jnp.uint32(min(int(rate * 4294967296.0), 4294967295))
+    return (z >= thresh).astype(jnp.float32)
+
+
 def _ln_rows(xf, s_ref, b_ref, eps):
     """Row-wise fp32 LayerNorm with affine (Fp32LayerNorm semantics:
     fp32 stats regardless of storage dtype)."""
@@ -153,23 +173,33 @@ def _ln_rows(xf, s_ref, b_ref, eps):
 
 
 def _kernel_bf16_block(
-    x_ref,     # VMEM (bn, C) — post-attention residual stream
-    l1s_ref,   # VMEM (1, C) f32  LN1 scale
-    l1b_ref,   # VMEM (1, C) f32  LN1 bias
-    w1_ref,    # VMEM (C, bm) bf16
-    b1_ref,    # VMEM (1, bm) f32
-    w2_ref,    # VMEM (bm, C) bf16
-    b2_ref,    # VMEM (1, C) f32
-    l2s_ref,   # VMEM (1, C) f32  LN2 scale
-    l2b_ref,   # VMEM (1, C) f32  LN2 bias
-    xo_ref,    # VMEM (bn, C) out — LN2(r + mlp(r))
-    t_ref,     # VMEM (bn, C) out — mlp(r) tap (ffn target)
-    r_scr,     # VMEM (bn, C) storage dtype — r = LN1(x) cast back
-    acc_scr,   # VMEM (bn, C) f32
-    *,
+    *refs,
+    # refs (dropout variant prepends seed_ref):
+    #   [seed_ref]  SMEM (2,) int32 — [activation seed, post-mlp seed]
+    #   x_ref       VMEM (bn, C) — post-attention residual stream
+    #   l1s_ref     VMEM (1, C) f32  LN1 scale
+    #   l1b_ref     VMEM (1, C) f32  LN1 bias
+    #   w1_ref      VMEM (C, bm) bf16
+    #   b1_ref      VMEM (1, bm) f32
+    #   w2_ref      VMEM (bm, C) bf16
+    #   b2_ref      VMEM (1, C) f32
+    #   l2s_ref     VMEM (1, C) f32  LN2 scale
+    #   l2b_ref     VMEM (1, C) f32  LN2 bias
+    #   xo_ref      VMEM (bn, C) out — LN2(r + mlp(r))
+    #   t_ref       VMEM (bn, C) out — mlp(r) tap (ffn target, pre post-drop)
+    #   r_scr       VMEM (bn, C) storage dtype — r = LN1(x) cast back
+    #   acc_scr     VMEM (bn, C) f32
     n_m: int,
     eps: float,
+    act_rate: float = 0.0,
+    post_rate: float = 0.0,
 ):
+    has_drop = act_rate > 0.0 or post_rate > 0.0
+    if has_drop:
+        seed_ref = refs[0]
+        refs = refs[1:]
+    (x_ref, l1s_ref, l1b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+     l2s_ref, l2b_ref, xo_ref, t_ref, r_scr, acc_scr) = refs
     mi = pl.program_id(1)
 
     @pl.when(mi == 0)
@@ -184,6 +214,16 @@ def _kernel_bf16_block(
         preferred_element_type=jnp.float32,
     )
     h = _gelu_exact(h + b1_ref[...])
+    if act_rate > 0.0:
+        # activation dropout after GELU (Mlp's nn.Dropout position) — global
+        # (row, hidden-col) hash so the recompute backward sees the same mask
+        bn, bm = h.shape
+        rows = pl.program_id(0) * bn + jax.lax.broadcasted_iota(
+            jnp.int32, (bn, 1), 0
+        )
+        cols = mi * bm + jax.lax.broadcasted_iota(jnp.int32, (1, bm), 1)
+        keep = _hash_keep(seed_ref[0], rows, cols, act_rate)
+        h = h * (keep / (1.0 - act_rate))
     acc_scr[...] += jax.lax.dot_general(
         h.astype(w2_ref.dtype), w2_ref[...],
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -193,10 +233,23 @@ def _kernel_bf16_block(
     @pl.when(mi == n_m - 1)
     def _finish():
         t = (acc_scr[...] + b2_ref[...]).astype(t_ref.dtype)
+        # the tap is the PRE-post-drop MLP output (AltBlock returns t before
+        # post_drop; only the residual add sees the dropped value)
         t_ref[...] = t
+        td = t
+        if post_rate > 0.0:
+            bn, c = t.shape
+            rows = pl.program_id(0) * bn + jax.lax.broadcasted_iota(
+                jnp.int32, (bn, 1), 0
+            )
+            cols = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
+            keep = _hash_keep(seed_ref[1], rows, cols, post_rate)
+            td = (
+                t.astype(jnp.float32) * (keep / (1.0 - post_rate))
+            ).astype(t.dtype)
         # z = r + t in storage dtype (matches the XLA path's bf16 add),
         # then LN2 with fp32 stats
-        z = (r_scr[...] + t.astype(r_scr.dtype)).astype(jnp.float32)
+        z = (r_scr[...] + td.astype(r_scr.dtype)).astype(jnp.float32)
         xo_ref[...] = _ln_rows(z, l2s_ref, l2b_ref, eps).astype(xo_ref.dtype)
 
 
@@ -363,7 +416,8 @@ def _pallas_int8_block(x2, l1s, l1b, w1, w1s, b1v, w2, w2s, b2v, l2s, l2b,
 
 
 def _pallas_bf16_block(x2, l1s, l1b, w1, b1v, w2, b2v, l2s, l2b,
-                       block_n, block_m, eps):
+                       block_n, block_m, eps,
+                       seeds=None, act_rate=0.0, post_rate=0.0):
     n, c = x2.shape
     m = w1.shape[1]
     n_pad, common = _grid_common(n, c, block_n, block_m, m, x2.dtype)
@@ -374,28 +428,41 @@ def _pallas_bf16_block(x2, l1s, l1b, w1, b1v, w2, b2v, l2s, l2b,
     n_m = common["grid"][1]
     cvec = lambda: pl.BlockSpec((1, c), lambda ni, mi: (0, 0))
     mvec = lambda: pl.BlockSpec((1, block_m), lambda ni, mi: (0, mi))
+    has_drop = act_rate > 0.0 or post_rate > 0.0
+    in_specs = [
+        pl.BlockSpec((block_n, c), lambda ni, mi: (ni, 0)),
+        cvec(), cvec(),
+        pl.BlockSpec((c, block_m), lambda ni, mi: (0, mi)),
+        mvec(),
+        pl.BlockSpec((block_m, c), lambda ni, mi: (mi, 0)),
+        cvec(), cvec(), cvec(),
+    ]
+    args = [x2, l1s, l1b, w1, b1v, w2, b2v, l2s, l2b]
+    if has_drop:
+        # training path: [act, post] int32 hash seeds ride SMEM
+        in_specs.insert(0, pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.insert(0, seeds.astype(jnp.int32).reshape(2))
     xo, t = pl.pallas_call(
-        functools.partial(_kernel_bf16_block, n_m=n_m, eps=eps),
-        in_specs=[
-            pl.BlockSpec((block_n, c), lambda ni, mi: (ni, 0)),
-            cvec(), cvec(),
-            pl.BlockSpec((c, block_m), lambda ni, mi: (0, mi)),
-            mvec(),
-            pl.BlockSpec((block_m, c), lambda ni, mi: (mi, 0)),
-            cvec(), cvec(), cvec(),
-        ],
+        functools.partial(
+            _kernel_bf16_block, n_m=n_m, eps=eps,
+            act_rate=act_rate, post_rate=post_rate,
+        ),
+        in_specs=in_specs,
         scratch_shapes=[
             pltpu.VMEM((block_n, c), x2.dtype),
             pltpu.VMEM((block_n, c), jnp.float32),
         ],
         **common,
-    )(x2, l1s, l1b, w1, b1v, w2, b2v, l2s, l2b)
+    )(*args)
     return xo[:n], t[:n]
 
 
-def _ref_block_bf16(x2, l1s, l1b, w1, b1v, w2, b2v, l2s, l2b, eps):
+def _ref_block_bf16(x2, l1s, l1b, w1, b1v, w2, b2v, l2s, l2b, eps,
+                    seeds=None, act_rate=0.0, post_rate=0.0):
     """XLA reference of the bf16 block kernel's numerics — the custom_vjp
-    recompute backward and the interpret-mode oracle."""
+    recompute backward and the interpret-mode oracle. The hash dropout
+    regenerates the kernel's exact masks (global row/col indices match:
+    padding rows sit at the end of the padded grid)."""
 
     def ln(z, s, b):
         zf = z.astype(jnp.float32)
@@ -403,36 +470,58 @@ def _ref_block_bf16(x2, l1s, l1b, w1, b1v, w2, b2v, l2s, l2b, eps):
         var = jnp.mean(jnp.square(zf - mean), axis=1, keepdims=True)
         return (zf - mean) * jax.lax.rsqrt(var + eps) * s + b
 
+    n = x2.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
     r = ln(x2, l1s, l1b).astype(x2.dtype)
-    t = _ref_mlp_bf16(r, w1, b1v, b2v, w2)
-    z = r + t.astype(x2.dtype)
+    h = jax.lax.dot_general(
+        r, w1, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    h = _gelu_exact(h + b1v)
+    if act_rate > 0.0:
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, h.shape[1]), 1)
+        h = h * (_hash_keep(seeds[0], rows, cols, act_rate) / (1.0 - act_rate))
+    t = jax.lax.dot_general(
+        h.astype(w2.dtype), w2, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    t = (t + b2v).astype(x2.dtype)
+    td = t
+    if post_rate > 0.0:
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, t.shape[1]), 1)
+        keep = _hash_keep(seeds[1], rows, cols, post_rate)
+        td = (t.astype(jnp.float32) * (keep / (1.0 - post_rate))).astype(t.dtype)
+    z = r + td
     xo = ln(z, l2s, l2b).astype(x2.dtype)
     return xo, t
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
-def _fused_block_bf16(x2, l1s, l1b, w1, b1v, w2, b2v, l2s, l2b,
-                      block_n, block_m, eps):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14))
+def _fused_block_bf16(x2, l1s, l1b, w1, b1v, w2, b2v, l2s, l2b, seeds,
+                      block_n, block_m, eps, act_rate, post_rate):
     return _pallas_bf16_block(
-        x2, l1s, l1b, w1, b1v, w2, b2v, l2s, l2b, block_n, block_m, eps
+        x2, l1s, l1b, w1, b1v, w2, b2v, l2s, l2b, block_n, block_m, eps,
+        seeds=seeds, act_rate=act_rate, post_rate=post_rate,
     )
 
 
-def _fused_block_bf16_fwd(x2, l1s, l1b, w1, b1v, w2, b2v, l2s, l2b,
-                          block_n, block_m, eps):
+def _fused_block_bf16_fwd(x2, l1s, l1b, w1, b1v, w2, b2v, l2s, l2b, seeds,
+                          block_n, block_m, eps, act_rate, post_rate):
     out = _pallas_bf16_block(
-        x2, l1s, l1b, w1, b1v, w2, b2v, l2s, l2b, block_n, block_m, eps
+        x2, l1s, l1b, w1, b1v, w2, b2v, l2s, l2b, block_n, block_m, eps,
+        seeds=seeds, act_rate=act_rate, post_rate=post_rate,
     )
-    return out, (x2, l1s, l1b, w1, b1v, w2, b2v, l2s, l2b)
+    return out, (x2, l1s, l1b, w1, b1v, w2, b2v, l2s, l2b, seeds)
 
 
-def _fused_block_bf16_bwd(block_n, block_m, eps, res, g):
-    x2, l1s, l1b, w1, b1v, w2, b2v, l2s, l2b = res
+def _fused_block_bf16_bwd(block_n, block_m, eps, act_rate, post_rate, res, g):
+    x2, l1s, l1b, w1, b1v, w2, b2v, l2s, l2b, seeds = res
     _, vjp = jax.vjp(
-        lambda *a: _ref_block_bf16(*a, eps), x2, l1s, l1b, w1, b1v, w2, b2v,
-        l2s, l2b,
+        lambda *a: _ref_block_bf16(
+            *a, eps, seeds=seeds, act_rate=act_rate, post_rate=post_rate
+        ),
+        x2, l1s, l1b, w1, b1v, w2, b2v, l2s, l2b,
     )
-    return vjp(g)
+    return vjp(g) + (None,)
 
 
 _fused_block_bf16.defvjp(_fused_block_bf16_fwd, _fused_block_bf16_bwd)

@@ -155,11 +155,14 @@ def main_pretrain():
             "model.modalities.audio.decoder.lane_pack_max="
             f"{os.environ['A2V_BENCH_DECODER_PACK']}"
         )
+    # the v5e-tuned recipe (batch 8 + block-scope remat) IS the shipped
+    # config for this chip — benching the generic yaml at batch 4 understates
+    # the real recipe by ~26% (docs/PERF.md training-SoL section)
     cfg = load_config(
-        os.path.join(here, "animal2vec_tpu/configs/a2v_large_pretrain.yaml"),
+        os.path.join(here, "animal2vec_tpu/configs/a2v_large_pretrain_v5e.yaml"),
         overrides=overrides,
     )
-    batch = int(os.environ.get("A2V_BENCH_BATCH", "4"))
+    batch = int(os.environ.get("A2V_BENCH_BATCH", "8"))
     wav_len = 80_000
     model, state = init_pretrain(
         cfg, jax.random.PRNGKey(0), example_wav_len=wav_len, example_batch=1

@@ -276,6 +276,36 @@ class TestAltBlockFusedRouting:
         )
         assert not np.allclose(np.asarray(o1), np.asarray(o2))
 
+    def test_training_zero_dropout_grads_match(self, monkeypatch):
+        # pretrain recipe (all MLP-branch dropouts 0.0): the non-deterministic
+        # call routes through the fused block kernel under SERVE=1; its
+        # custom_vjp must reproduce the pure-XLA path's gradients (fixed
+        # linear cotangents sidestep fp32 summation-order noise)
+        rng = np.random.default_rng(33)
+        x = jnp.asarray(rng.normal(size=(2, 32, 128)).astype(np.float32))
+        gx = jnp.asarray(rng.normal(size=(2, 32, 128)).astype(np.float32))
+        gt = jnp.asarray(rng.normal(size=(2, 32, 128)).astype(np.float32))
+        blk = self._mk()  # all dropout rates 0.0
+        params = blk.init({"params": jax.random.PRNGKey(0)}, x)
+
+        def loss(p, fused):
+            monkeypatch.setenv("A2V_PALLAS_SERVE", "1" if fused else "0")
+            xo, t = blk.apply(
+                p, x, None, None, 0.0, False,
+                rngs={"dropout": jax.random.PRNGKey(1)},
+            )
+            return jnp.sum(xo * gx) + jnp.sum(t * gt)
+
+        v_f, g_f = jax.value_and_grad(lambda p: loss(p, True))(params)
+        v_r, g_r = jax.value_and_grad(lambda p: loss(p, False))(params)
+        np.testing.assert_allclose(float(v_f), float(v_r), rtol=1e-4)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g_f), jax.tree_util.tree_leaves(g_r)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
+            )
+
 
 class TestMlpModuleRouting:
     def _mk(self, monkeypatch=None, force=None):
