@@ -548,23 +548,39 @@ class AltBlock(nn.Module):
             # the fusion is exact. Param trees are unchanged (_NormParams /
             # _MlpParams mirror Fp32LayerNorm / Mlp).
             #
-            # Training engages it too when every dropout on this branch is
-            # statically zero (the pretrain recipe: activation/post-mlp
-            # dropout 0.0, no drop-path — BlockStack passes rate as a python
-            # 0.0 then): the bf16 kernel's custom_vjp recomputes through the
-            # XLA reference, which doubles as mlp-scope remat (only the
-            # block inputs are saved). int8 has no vjp and stays serving-only.
-            # A2V_FUSED_BLOCK_TRAIN=0 confines it to deterministic calls.
-            branch_dropout_free = (
-                c.activation_dropout == 0.0
-                and c.post_mlp_drop == 0.0
-                and isinstance(drop_path_rate, (int, float))
+            # Training engages it too (the bf16 kernel's custom_vjp
+            # recomputes through the XLA reference, which doubles as
+            # mlp-scope remat — only the block inputs are saved):
+            #  * all MLP-branch dropouts statically zero (pretrain recipe) —
+            #    the kernel is exact; or
+            #  * nonzero activation/post-mlp dropout with no drop-path (the
+            #    finetune recipe: activation_dropout 0.1, drop_path 0.0 —
+            #    /root/reference/configs/MeerKAT/finetune_mixup_100.yaml) —
+            #    the kernel applies hash-counter dropout in VMEM with seeds
+            #    drawn from the "dropout" rng (same sites as the XLA path:
+            #    after GELU and on the residual branch; different mask
+            #    realization, identical statistics).
+            # int8 has no vjp and stays serving-only. A2V_FUSED_BLOCK_TRAIN=0
+            # confines the kernel to deterministic calls.
+            fused_train_ok = (
+                isinstance(drop_path_rate, (int, float))
                 and float(drop_path_rate) == 0.0
                 and c.matmul_impl not in ("int8", "int8_attn")
                 and os.environ.get("A2V_FUSED_BLOCK_TRAIN", "1") != "0"
             )
+            branch_dropout_free = (
+                c.activation_dropout == 0.0
+                and c.post_mlp_drop == 0.0
+                and fused_train_ok
+            )
+            fused_train_drop = (
+                not deterministic
+                and fused_train_ok
+                and not branch_dropout_free
+                and os.environ.get("A2V_FUSED_BLOCK_DROPOUT", "1") != "0"
+            )
             fused_blk = (
-                deterministic or branch_dropout_free
+                deterministic or branch_dropout_free or fused_train_drop
             ) and pallas_serving_ok(c.dim, hidden)
             if fused_blk:
                 from animal2vec_tpu.ops.fused_mlp import fused_block_mlp
@@ -582,9 +598,20 @@ class AltBlock(nn.Module):
                         c.norm_eps, w1s, w2s,
                     )
                 else:
+                    if fused_train_drop and not deterministic:
+                        info = jnp.iinfo(jnp.int32)
+                        seeds = jax.random.randint(
+                            self.make_rng("dropout"), (2,),
+                            minval=info.min, maxval=info.max, dtype=jnp.int32,
+                        )
+                        act_rate = float(c.activation_dropout)
+                        post_rate = float(c.post_mlp_drop)
+                    else:
+                        seeds, act_rate, post_rate = None, 0.0, 0.0
                     x, t = fused_block_mlp(
                         x, l1s, l1b, k1.astype(self.dtype), k2.astype(self.dtype),
                         b1p, b2p, l2s, l2b, c.norm_eps,
+                        seeds=seeds, act_rate=act_rate, post_rate=post_rate,
                     )
             else:
                 r = norm("norm1")(x)
@@ -802,6 +829,13 @@ class BlockStack(nn.Module):
         has_sentinel = False
         if isinstance(bias, AlibiSpec):
             positions = bias.positions
+            if positions.shape[0] == 1 and x.shape[0] > 1:
+                # batch-uniform (1, T) layout: the pipeline reshapes
+                # positions into (n_micro, mb, T) microbatches, so broadcast
+                # to the real batch first
+                positions = jnp.broadcast_to(
+                    positions, (x.shape[0],) + positions.shape[1:]
+                )
             has_sentinel = bias.has_sentinel
             slopes_scaled = (
                 bias.slopes.astype(jnp.float32)[None, :]

@@ -230,6 +230,17 @@ def _kernel_bf16_block(
         preferred_element_type=jnp.float32,
     )
 
+    if post_rate > 0.0:
+        # compute the keep mask OUTSIDE the pl.when closure: interpret mode
+        # (CPU tests) substitutes pl.program_id only at the kernel's top
+        # level, not inside cond branches
+        bn_o, c_o = acc_scr.shape
+        rows_o = pl.program_id(0) * bn_o + jax.lax.broadcasted_iota(
+            jnp.int32, (bn_o, 1), 0
+        )
+        cols_o = jax.lax.broadcasted_iota(jnp.int32, (1, c_o), 1)
+        post_keep = _hash_keep(seed_ref[1], rows_o, cols_o, post_rate)
+
     @pl.when(mi == n_m - 1)
     def _finish():
         t = (acc_scr[...] + b2_ref[...]).astype(t_ref.dtype)
@@ -238,14 +249,8 @@ def _kernel_bf16_block(
         t_ref[...] = t
         td = t
         if post_rate > 0.0:
-            bn, c = t.shape
-            rows = pl.program_id(0) * bn + jax.lax.broadcasted_iota(
-                jnp.int32, (bn, 1), 0
-            )
-            cols = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
-            keep = _hash_keep(seed_ref[1], rows, cols, post_rate)
             td = (
-                t.astype(jnp.float32) * (keep / (1.0 - post_rate))
+                t.astype(jnp.float32) * (post_keep / (1.0 - post_rate))
             ).astype(t.dtype)
         # z = r + t in storage dtype (matches the XLA path's bf16 add),
         # then LN2 with fp32 stats
@@ -329,6 +334,9 @@ def fused_block_mlp(
     # the 512-row variant 680 KB over v5e's 16 MB scoped-vmem stack limit
     block_n: int = 256,
     block_m: int = 1024,
+    seeds: Optional[jnp.ndarray] = None,     # (2,) int32 [act, post] hash seeds
+    act_rate: float = 0.0,
+    post_rate: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Whole post-LN MLP sub-block in one kernel:
 
@@ -339,8 +347,20 @@ def fused_block_mlp(
     LN-outside composition this keeps ``r``, ``t`` and ``z = r + t`` out of
     HBM (~0.8 GB/layer at serving shapes). LayerNorm statistics are fp32
     (Fp32LayerNorm semantics); the residual add runs in the storage dtype,
-    matching the unfused path bit-for-bit in spirit (bf16 add)."""
+    matching the unfused path bit-for-bit in spirit (bf16 add).
+
+    Training with dropout (bf16 only): pass ``seeds`` (two int32 hash seeds)
+    plus static ``act_rate`` (Mlp activation dropout, after GELU) and
+    ``post_rate`` (AltBlock post-mlp dropout on the residual branch). The
+    masks are hash-counter based so the custom_vjp recompute backward
+    regenerates them exactly (reference dropout sites:
+    nn/modalities/modules.py:312-317,330)."""
     int8 = w1_scale is not None
+    act_rate = float(act_rate)
+    post_rate = float(post_rate)
+    if act_rate > 0.0 or post_rate > 0.0:
+        assert not int8, "in-kernel dropout is bf16-only (int8 is serving-only)"
+        assert seeds is not None, "seeds required when a dropout rate is nonzero"
     *lead, c = x.shape
     m = w1.shape[1]
     assert w1.shape[0] == c and w2.shape == (m, c), (x.shape, w1.shape, w2.shape)
@@ -374,7 +394,7 @@ def fused_block_mlp(
         wdt = x.dtype if x.dtype != jnp.float32 else jnp.float32
         xo, t = _fused_block_bf16(
             x2, l1s, l1b, w1.astype(wdt), b1v, w2.astype(wdt), b2v, l2s, l2b,
-            block_n, block_m, eps,
+            seeds, block_n, block_m, eps, act_rate, post_rate,
         )
     return (
         xo.reshape(*lead, c),

@@ -205,6 +205,88 @@ class TestFusedBlock:
                 np.asarray(a).ravel(), np.asarray(b).ravel(), rtol=1e-4, atol=1e-5
             )
 
+    def test_dropout_matches_reference(self):
+        # in-kernel hash dropout (act + post-mlp): the Pallas kernel and the
+        # XLA reference regenerate the SAME masks from (seeds, row, col)
+        from animal2vec_tpu.ops.fused_mlp import _ref_block_bf16, fused_block_mlp
+
+        x, w1, b1, w2, b2 = make(150, 128, 256, 128, seed=40)
+        l1s, l1b, l2s, l2b = make_ln(128, 41)
+        seeds = jnp.asarray([123456789, -987654321], jnp.int32)
+        xo, t = fused_block_mlp(
+            x, l1s, l1b, w1, w2, b1, b2, l2s, l2b, 1e-5,
+            block_n=64, block_m=128,
+            seeds=seeds, act_rate=0.25, post_rate=0.1,
+        )
+        ro, rt = _ref_block_bf16(
+            x, l1s.reshape(1, -1), l1b.reshape(1, -1), w1, b1.reshape(1, -1),
+            w2, b2.reshape(1, -1), l2s.reshape(1, -1), l2b.reshape(1, -1),
+            1e-5, seeds=seeds, act_rate=0.25, post_rate=0.1,
+        )
+        np.testing.assert_allclose(np.asarray(xo), np.asarray(ro), rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(t), np.asarray(rt), rtol=1e-4, atol=1e-4)
+        # different seeds -> different realization
+        xo2, _ = fused_block_mlp(
+            x, l1s, l1b, w1, w2, b1, b2, l2s, l2b, 1e-5,
+            block_n=64, block_m=128,
+            seeds=seeds + 1, act_rate=0.25, post_rate=0.1,
+        )
+        assert not np.allclose(np.asarray(xo2), np.asarray(xo))
+
+    def test_hash_keep_statistics(self):
+        # the murmur-style keep mask must drop ~rate of positions, decorrelated
+        # across rows/cols
+        from animal2vec_tpu.ops.fused_mlp import _hash_keep
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (512, 1), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1024), 1)
+        for rate in (0.1, 0.25, 0.5):
+            keep = _hash_keep(jnp.int32(777), rows, cols, rate)
+            frac = float(jnp.mean(keep))
+            assert abs(frac - (1.0 - rate)) < 0.01, (rate, frac)
+            # per-row keep fraction spreads like a binomial, not striped
+            row_frac = np.asarray(jnp.mean(keep, axis=1))
+            assert row_frac.std() < 0.05, row_frac.std()
+
+    def test_dropout_grads_match_reference(self):
+        # custom_vjp recompute backward regenerates the kernel's exact masks
+        from animal2vec_tpu.ops.fused_mlp import _ref_block_bf16, fused_block_mlp
+
+        x, w1, b1, w2, b2 = make(64, 128, 128, 128, seed=42)
+        l1s, l1b, l2s, l2b = make_ln(128, 43)
+        seeds = jnp.asarray([55, 66], jnp.int32)
+        rng = np.random.default_rng(44)
+        go = jnp.asarray(rng.normal(size=(64, 128)).astype(np.float32))
+        gt = jnp.asarray(rng.normal(size=(64, 128)).astype(np.float32))
+
+        def loss_fused(x, w1, b1, w2, b2, l1s, l1b, l2s, l2b):
+            xo, t = fused_block_mlp(
+                x, l1s, l1b, w1, w2, b1, b2, l2s, l2b, 1e-5,
+                block_n=64, block_m=128,
+                seeds=seeds, act_rate=0.25, post_rate=0.1,
+            )
+            return jnp.sum(xo * go) + jnp.sum(t * gt)
+
+        def loss_ref(x, w1, b1, w2, b2, l1s, l1b, l2s, l2b):
+            xo, t = _ref_block_bf16(
+                x, l1s.reshape(1, -1), l1b.reshape(1, -1), w1,
+                b1.reshape(1, -1), w2, b2.reshape(1, -1),
+                l2s.reshape(1, -1), l2b.reshape(1, -1), 1e-5,
+                seeds=seeds, act_rate=0.25, post_rate=0.1,
+            )
+            return jnp.sum(xo * go) + jnp.sum(t * gt)
+
+        args = (x, w1, b1, w2, b2, l1s, l1b, l2s, l2b)
+        v_f = loss_fused(*args)
+        v_r = loss_ref(*args)
+        np.testing.assert_allclose(float(v_f), float(v_r), rtol=1e-4)
+        g_f = jax.grad(loss_fused, argnums=tuple(range(9)))(*args)
+        g_r = jax.grad(loss_ref, argnums=tuple(range(9)))(*args)
+        for a, b in zip(g_f, g_r):
+            np.testing.assert_allclose(
+                np.asarray(a).ravel(), np.asarray(b).ravel(), rtol=1e-4, atol=1e-5
+            )
+
     def test_int8_close_to_fp32(self):
         from animal2vec_tpu.ops.fused_mlp import fused_block_mlp
 
@@ -259,11 +341,49 @@ class TestAltBlockFusedRouting:
         xo, t = blk.apply(params, x)
         np.testing.assert_array_equal(np.asarray(xo), np.asarray(t))
 
-    def test_training_path_stays_unfused(self, monkeypatch):
-        # dropout active -> must not route through the deterministic kernel
+    def test_training_dropout_routes_fused_with_seeds(self, monkeypatch):
+        # finetune recipe (activation_dropout>0, drop_path 0): training now
+        # routes through the kernel with in-kernel hash dropout; seeds come
+        # from the "dropout" rng so realizations differ across keys
+        import animal2vec_tpu.ops.fused_mlp as fm
+
+        calls = []
+        orig = fm.fused_block_mlp
+
+        def spy(*a, **k):
+            calls.append((k.get("act_rate"), k.get("post_rate"),
+                          k.get("seeds") is not None))
+            return orig(*a, **k)
+
+        monkeypatch.setattr(fm, "fused_block_mlp", spy)
         rng = np.random.default_rng(32)
         x = jnp.asarray(rng.normal(size=(1, 32, 128)).astype(np.float32))
         monkeypatch.setenv("A2V_PALLAS_SERVE", "1")
+        blk = self._mk(activation_dropout=0.5, post_mlp_drop=0.1)
+        params = blk.init({"params": jax.random.PRNGKey(0)}, x)
+        calls.clear()
+        o1, _ = blk.apply(
+            params, x, None, None, 0.0, False,
+            rngs={"dropout": jax.random.PRNGKey(1)},
+        )
+        assert calls == [(0.5, 0.1, True)], calls
+        o2, _ = blk.apply(
+            params, x, None, None, 0.0, False,
+            rngs={"dropout": jax.random.PRNGKey(2)},
+        )
+        assert not np.allclose(np.asarray(o1), np.asarray(o2))
+        # deterministic call: rates off, no seeds
+        calls.clear()
+        blk.apply(params, x)
+        assert calls == [(0.0, 0.0, False)], calls
+
+    def test_training_dropout_opt_out_stays_unfused(self, monkeypatch):
+        # A2V_FUSED_BLOCK_DROPOUT=0 keeps nonzero-dropout training on the
+        # XLA path (flax nn.Dropout), still stochastic
+        rng = np.random.default_rng(34)
+        x = jnp.asarray(rng.normal(size=(1, 32, 128)).astype(np.float32))
+        monkeypatch.setenv("A2V_PALLAS_SERVE", "1")
+        monkeypatch.setenv("A2V_FUSED_BLOCK_DROPOUT", "0")
         blk = self._mk(activation_dropout=0.5)
         params = blk.init({"params": jax.random.PRNGKey(0)}, x)
         o1, _ = blk.apply(
