@@ -135,7 +135,10 @@ def export_serving(
         wav_len = int(cfg.task.max_sample_size or 10 * cfg.task.sample_rate)
     if shapes is None:
         shapes = [(batch_size, wav_len)]
-    shapes = [(int(b), int(t)) for b, t in shapes]
+    # dedupe (order-preserving): a repeated --shape equal to the first entry
+    # would otherwise make ServingBundle look for a forward_BxW.jaxexport
+    # that the i==0 branch below never wrote
+    shapes = list(dict.fromkeys((int(b), int(t)) for b, t in shapes))
     if cast_bf16:
         variables = cast_serving_params(variables)
 

@@ -90,8 +90,9 @@ def load_torch_checkpoint(path: str) -> Dict[str, Any]:
         pass
     except (EOFError, OSError, RuntimeError, KeyError) as e:
         raise ValueError(
-            f"checkpoint {path!r} is truncated or corrupt "
-            f"(re-download / re-copy it): {type(e).__name__}: {e}"
+            f"checkpoint {path!r} could not be read — likely truncated/"
+            f"corrupt (re-download / re-copy it) or an unsupported "
+            f"serialization format: {type(e).__name__}: {e}"
         ) from e
     try:
         return torch.load(
@@ -102,8 +103,9 @@ def load_torch_checkpoint(path: str) -> Dict[str, Any]:
         )
     except (EOFError, OSError, RuntimeError, KeyError, pickle.UnpicklingError) as e:
         raise ValueError(
-            f"checkpoint {path!r} is truncated or corrupt "
-            f"(re-download / re-copy it): {type(e).__name__}: {e}"
+            f"checkpoint {path!r} could not be read — likely truncated/"
+            f"corrupt (re-download / re-copy it) or an unsupported "
+            f"serialization format: {type(e).__name__}: {e}"
         ) from e
 
 

@@ -383,7 +383,7 @@ class TestAdversarialCheckpoints:
             cut = str(tmp_path / f"cut_{name}.pt")
             with open(cut, "wb") as f:
                 f.write(data[: int(len(data) * frac)])
-            with pytest.raises(ValueError, match="truncated or corrupt"):
+            with pytest.raises(ValueError, match="truncated/"):
                 load_torch_checkpoint(cut)
 
     def test_garbage_file_raises_clear_error(self, tmp_path):
@@ -392,5 +392,5 @@ class TestAdversarialCheckpoints:
         bad = str(tmp_path / "garbage.pt")
         with open(bad, "wb") as f:
             f.write(b"\x00" * 1024)
-        with pytest.raises(ValueError, match="truncated or corrupt"):
+        with pytest.raises(ValueError, match="truncated/"):
             load_torch_checkpoint(bad)

@@ -147,3 +147,23 @@ class TestServingBundle:
             np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
         with pytest.raises(ValueError, match="expects source shape"):
             sb(np.zeros((3, 2000), np.float32))
+
+    def test_duplicate_shapes_deduped(self, tmp_path):
+        """A repeated --shape equal to the first entry must not make the
+        loader look for a forward_BxW.jaxexport the writer never emitted."""
+        cfg = serving_cfg()
+        model = build_finetune_model(cfg)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 2000), jnp.float32)
+        )
+        out = str(tmp_path / "dupbundle")
+        export_serving(
+            cfg, variables, out, cast_bf16=False,
+            shapes=[(2, 2000), (2, 2000), (4, 1000)],
+        )
+        sb = ServingBundle(out)
+        assert sb.shapes == [(2, 2000), (4, 1000)]
+        src = np.random.default_rng(2).normal(size=(2, 2000)).astype(np.float32)
+        got = sb(src)
+        want = np.asarray(model.apply(variables, jnp.asarray(src))["encoder_out"])
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
