@@ -230,6 +230,10 @@ def multihead_attention(
                 dropout_seed(dropout_rng) if has_dropout else None,
             )
         bias = bias.densify()
+        if bias.shape[0] == 1 and q.shape[0] > 1:
+            # batch-uniform (1, T) positions densify to a (1, H, T, T) bias;
+            # downstream kernels may require an explicit batch dim
+            bias = jnp.broadcast_to(bias, (q.shape[0],) + bias.shape[1:])
     use_flash = impl == "flash" or (
         impl == "auto"
         and _on_tpu()

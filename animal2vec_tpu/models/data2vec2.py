@@ -270,9 +270,11 @@ class Data2VecMulti(nn.Module):
             if mask_info is not None and remove_masked:
                 positions = mask_info.ids_keep.astype(jnp.int32)
             else:
-                positions = jnp.broadcast_to(
-                    jnp.arange(t, dtype=jnp.int32)[None], (bsz, t)
-                )
+                # (1, T): the leading 1 statically marks batch-uniform
+                # contiguous positions — the packed serving kernel's
+                # distance-tile fast path keys on it (pallas_attention
+                # _kernel_serve_nk1); general entries broadcast to (B, T)
+                positions = jnp.arange(t, dtype=jnp.int32)[None]
             if num_extra > 0:  # extra tokens -> zero-bias sentinel positions
                 positions = jnp.pad(
                     positions, ((0, 0), (num_extra, 0)), constant_values=-1

@@ -48,6 +48,14 @@ def _ceil_to(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _bcast_positions(positions, b: int):
+    """Positions with leading dim 1 mark the batch-uniform (contiguous
+    serving) layout; general entries broadcast them to (B, T)."""
+    if positions is not None and positions.shape[0] == 1 and b > 1:
+        return jnp.broadcast_to(positions, (b,) + positions.shape[1:])
+    return positions
+
+
 def attention_padded_len(t: int, block_q: int = 1024, block_k: int = 2048) -> int:
     """The sequence length the kernel will pad to. Callers can pad once at
     trunk level (with masked keys) so the per-layer kernel pad is a no-op."""
@@ -203,6 +211,8 @@ def _pallas_forward(
     else:
         b, t, h, d = q.shape
     dtype = q.dtype
+    positions = _bcast_positions(positions, b)
+    positions_k = _bcast_positions(positions_k, b)
     # block sizes stay multiples of 128 (lane rule for the position/mask
     # vectors); t is padded up to a block multiple with masked keys
     block_q = min(block_q, _ceil_to(t, 128))
@@ -443,6 +453,7 @@ def _pallas_backward(
     and in BHTD layout."""
     b, h, t_pad, d = q.shape
     dtype = q.dtype
+    positions = _bcast_positions(positions, b)
     n_q = t_pad // block_q
     n_k = t_pad // block_k
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
@@ -771,6 +782,7 @@ def alibi_flash_attention_int8(
     """
     b, t, h, d = q.shape
     dtype = q.dtype
+    positions = _bcast_positions(positions, b)
     block_q = min(block_q, _ceil_to(t, 128))
     block_k = min(block_k, _ceil_to(t, 128))
     t_pad = _ceil_to(t, max(block_q, block_k))
@@ -857,6 +869,108 @@ def alibi_flash_attention_int8(
     return jnp.swapaxes(out, 1, 2)[:, :t]
 
 
+def _kernel_serve_nk1(
+    slope_ref,  # SMEM (H, 1): scaled slopes
+    q_ref,      # VMEM (1, 1, 1, bq, d) packed slice
+    k_ref,      # VMEM (1, 1, 1, bk, d)
+    v_ref,      # VMEM (1, 1, 1, bk, d)
+    pos_q_ref,  # VMEM (1, 1, bq) int32 (batch-uniform: row 0)
+    pos_k_ref,  # VMEM (1, 1, bk) int32
+    mask_ref,   # VMEM (1, 1, bk) int32 (1 = masked/pad)
+    o_ref,      # VMEM (1, 1, bq, d)
+    ndist_scr,  # VMEM (bq, bk) f32 — cached -|pos_q - pos_k| tile
+    *,
+    sm_scale: float,
+    has_sentinel: bool,
+    has_mask: bool,
+    uniform_mask: bool,
+):
+    """Serving fast path: batch-uniform positions, one key block (T <=
+    block_k — every 10-s serving window), no dropout, no lse. The negated
+    ALiBi distance tile is computed ONCE per q block and reused across the
+    whole (b, h) sweep from VMEM scratch (grid order (qi, b, h), all
+    arbitrary), so the per-program bias cost collapses from the
+    sub/abs/sentinel-select chain to a single fused multiply-add; the
+    single-key-block softmax also drops the online-softmax rescale
+    bookkeeping (m/l carry, alpha, acc RMW). Measured vs the general kernel
+    at serving shape in docs/PERF.md (round 4, "ALiBi Toeplitz lever")."""
+    bi = pl.program_id(1)
+    hi = pl.program_id(2)
+
+    @pl.when((bi == 0) & (hi == 0))
+    def _dist():
+        pq = pos_q_ref[0, 0][:, None].astype(jnp.float32)
+        pk = pos_k_ref[0, 0][None, :].astype(jnp.float32)
+        nd = -jnp.abs(pq - pk)
+        if has_sentinel:
+            # extra tokens carry sentinel position < 0 -> zero bias
+            nd = jnp.where(jnp.logical_or(pq < 0, pk < 0), 0.0, nd)
+        ndist_scr[...] = nd
+
+    q = q_ref[...].reshape(q_ref.shape[-2], q_ref.shape[-1])
+    k = k_ref[...].reshape(k_ref.shape[-2], k_ref.shape[-1])
+    s = jax.lax.dot_general(
+        q * jnp.asarray(sm_scale, q.dtype), k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bq, bk) fp32
+    slope = slope_ref[hi, 0]
+    s = s + slope * ndist_scr[...]
+    if has_mask:
+        s = jnp.where(mask_ref[0, 0][None, :] != 0, NEG_INF, s)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.maximum(jnp.sum(p, axis=1, keepdims=True), 1e-30)
+    v_blk = v_ref[...].reshape(v_ref.shape[-2], v_ref.shape[-1])
+    acc = jax.lax.dot_general(
+        p.astype(v_blk.dtype), v_blk,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
+
+
+def _pallas_serve_nk1(qkv, slope_arr, pos, mask, t_pad, block_q, block_k,
+                      has_sentinel, mask_needed, uniform_mask, interpret):
+    """pallas_call wrapper for _kernel_serve_nk1. ``pos`` is (1, 1, T_pad)
+    (batch-uniform); ``mask`` is (1, 1, T_pad) when uniform_mask else
+    (B, 1, T_pad)."""
+    _, b, h, t_stored, d = qkv.shape
+    grid = (t_pad // block_q, b, h)
+    outs = pl.pallas_call(
+        functools.partial(
+            _kernel_serve_nk1,
+            sm_scale=d**-0.5, has_sentinel=has_sentinel,
+            has_mask=mask_needed, uniform_mask=uniform_mask,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((h, 1), lambda qi, bi, hi: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, block_q, d), lambda qi, bi, hi: (0, bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, 1, block_k, d), lambda qi, bi, hi: (1, bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, 1, block_k, d), lambda qi, bi, hi: (2, bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda qi, bi, hi: (0, 0, qi)),
+            pl.BlockSpec((1, 1, block_k), lambda qi, bi, hi: (0, 0, 0)),
+            pl.BlockSpec(
+                (1, 1, block_k),
+                (lambda qi, bi, hi: (0, 0, 0))
+                if uniform_mask
+                else (lambda qi, bi, hi: (bi, 0, 0)),
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, d), lambda qi, bi, hi: (bi, hi, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, t_pad, d), qkv.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, block_k), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            # all-arbitrary: sequential grid order is what lets the distance
+            # scratch persist across the inner (b, h) sweep
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(slope_arr, qkv, qkv, qkv, pos, pos, mask)
+    return outs
+
+
 def _pallas_forward_packed(
     qkv: jnp.ndarray,  # (3, B, H, T, D)
     slopes: jnp.ndarray,
@@ -872,9 +986,14 @@ def _pallas_forward_packed(
     """Packed-qkv kernel entry: the q/k/v blocks are sliced out of the single
     (3, B, H, T, D) projection output by BlockSpec index maps — no unpack
     copy, one pad instead of three. Returns (out, lse) — lse None with
-    ``save_lse=False`` (inference)."""
+    ``save_lse=False`` (inference).
+
+    ``positions`` with leading dim 1 marks batch-uniform positions (the
+    unmasked contiguous serving layout): with one key block, no dropout and
+    no lse, the call routes to the _kernel_serve_nk1 fast path."""
     _, b, h, t, d = qkv.shape
     dtype = qkv.dtype
+    uniform = positions.shape[0] == 1
     block_q = min(block_q, _ceil_to(t, 128))
     block_k = min(block_k, _ceil_to(t, 128))
     t_pad = _ceil_to(t, max(block_q, block_k))
@@ -884,8 +1003,9 @@ def _pallas_forward_packed(
     else:
         positions_p = positions.astype(jnp.int32)
     pos = positions_p[:, None, :]
+    uniform_mask = padding_mask is None
     mask = (
-        jnp.zeros((b, t), jnp.int32)
+        jnp.zeros((1 if uniform_mask else b, t), jnp.int32)
         if padding_mask is None
         else padding_mask.astype(jnp.int32)
     )
@@ -901,6 +1021,31 @@ def _pallas_forward_packed(
         jnp.zeros((1,), jnp.int32) if seed is None else seed.reshape(1).astype(jnp.int32)
     )
     interpret = jax.default_backend() != "tpu"
+
+    import os as _os
+
+    if (
+        uniform
+        and n_k == 1
+        and dropout_rate == 0.0
+        and not save_lse
+        and _os.environ.get("A2V_SERVE_NK1", "1") != "0"
+    ):
+        # serving fast path: the distance tile is computed once per q block
+        # and reused across the (b, h) sweep; block_q 512 keeps the fp32
+        # scratch + score temps inside the scoped-VMEM budget
+        bq_s = min(512, block_q)
+        out = _pallas_serve_nk1(
+            qkv, slope_arr, pos, mask, t_pad, bq_s, block_k,
+            has_sentinel, mask_needed, uniform_mask, interpret,
+        )
+        return out[:, :, :t], None
+
+    # general kernel: positions/mask blocks are indexed per batch row
+    if uniform and b > 1:
+        pos = jnp.broadcast_to(pos, (b, 1, t_pad))
+    if uniform_mask and b > 1:
+        mask = jnp.broadcast_to(mask, (b, 1, t_pad))
 
     out_specs = [
         pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),

@@ -107,6 +107,89 @@ class TestPallasKernel:
         ref = jnp.swapaxes(_reference_attention(q, k, v, slopes, pos, None), 1, 2)
         np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=2e-3, atol=2e-4)
 
+    def test_serve_nk1_fast_path_matches_reference(self):
+        # (1, T) positions mark the batch-uniform serving layout: the packed
+        # entry (no lse, no dropout, one key block) routes through
+        # _kernel_serve_nk1, which caches the distance tile in VMEM scratch
+        # across the (b, h) sweep
+        from animal2vec_tpu.ops.pallas_attention import _pallas_forward_packed
+
+        b, t, h, d = 3, 256, 4, 8
+        q, k, v = make_qkv(b, t, h, d, seed=11)
+        slopes = jnp.asarray(alibi_slopes(h))
+        pos1 = jnp.arange(t, dtype=jnp.int32)[None]  # (1, T) uniform
+        posb = jnp.broadcast_to(pos1, (b, t))
+        packed = jnp.stack([jnp.swapaxes(x, 1, 2) for x in (q, k, v)], axis=0)
+        ours, lse = _pallas_forward_packed(
+            packed, slopes, pos1, None, block_q=128, block_k=256, save_lse=False
+        )
+        assert lse is None
+        ref = _reference_attention(q, k, v, slopes, posb, None)
+        ref = jnp.swapaxes(ref, 1, 2)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=2e-3, atol=2e-4)
+
+    def test_serve_nk1_with_padding_and_unaligned_length(self):
+        # t=200 pads to 256: fabricated key mask + uniform positions; also a
+        # real per-batch padding mask on top
+        from animal2vec_tpu.ops.pallas_attention import _pallas_forward_packed
+
+        b, t, h, d = 2, 200, 2, 8
+        q, k, v = make_qkv(b, t, h, d, seed=12)
+        slopes = jnp.asarray(alibi_slopes(h))
+        pos1 = jnp.arange(t, dtype=jnp.int32)[None]
+        posb = jnp.broadcast_to(pos1, (b, t))
+        pad = jnp.zeros((b, t), bool).at[:, 150:].set(True)
+        packed = jnp.stack([jnp.swapaxes(x, 1, 2) for x in (q, k, v)], axis=0)
+        ours, _ = _pallas_forward_packed(
+            packed, slopes, pos1, pad, block_q=128, block_k=256, save_lse=False
+        )
+        ref = jnp.swapaxes(_reference_attention(q, k, v, slopes, posb, pad), 1, 2)
+        np.testing.assert_allclose(
+            np.asarray(ours[:, :, :150]), np.asarray(ref[:, :, :150]),
+            rtol=2e-3, atol=2e-4,
+        )
+
+    def test_serve_nk1_sentinel(self):
+        # extra-token sentinel (-1) positions carry zero bias in the cached
+        # distance tile
+        from animal2vec_tpu.ops.pallas_attention import _pallas_forward_packed
+
+        b, t, h, d = 2, 128, 2, 8
+        q, k, v = make_qkv(b, t, h, d, seed=13)
+        slopes = jnp.asarray(alibi_slopes(h))
+        pos1 = jnp.concatenate(
+            [jnp.full((1, 2), -1, jnp.int32), jnp.arange(t - 2, dtype=jnp.int32)[None]],
+            axis=1,
+        )
+        posb = jnp.broadcast_to(pos1, (b, t))
+        packed = jnp.stack([jnp.swapaxes(x, 1, 2) for x in (q, k, v)], axis=0)
+        ours, _ = _pallas_forward_packed(
+            packed, slopes, pos1, None, block_q=128, block_k=128,
+            has_sentinel=True, save_lse=False,
+        )
+        ref = jnp.swapaxes(_reference_attention(q, k, v, slopes, posb, None), 1, 2)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=2e-3, atol=2e-4)
+
+    def test_uniform_positions_general_path_broadcasts(self):
+        # (1, T) positions through the general entries (training: save_lse)
+        # must produce identical results to explicit (B, T) positions
+        from animal2vec_tpu.ops.pallas_attention import _pallas_forward_packed
+
+        b, t, h, d = 2, 256, 2, 8
+        q, k, v = make_qkv(b, t, h, d, seed=14)
+        slopes = jnp.asarray(alibi_slopes(h))
+        pos1 = jnp.arange(t, dtype=jnp.int32)[None]
+        posb = jnp.broadcast_to(pos1, (b, t))
+        packed = jnp.stack([jnp.swapaxes(x, 1, 2) for x in (q, k, v)], axis=0)
+        o1, l1 = _pallas_forward_packed(
+            packed, slopes, pos1, None, block_q=128, block_k=128, save_lse=True
+        )
+        ob, lb = _pallas_forward_packed(
+            packed, slopes, posb, None, block_q=128, block_k=128, save_lse=True
+        )
+        np.testing.assert_array_equal(np.asarray(o1), np.asarray(ob))
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(lb))
+
     def test_packed_custom_vjp_gradients(self):
         from animal2vec_tpu.ops.pallas_attention import alibi_flash_attention_packed
 
