@@ -239,75 +239,87 @@ class TestTolerantUnpickler:
             np.testing.assert_array_equal(orig[k], got[k], err_msg=str(k))
 
 
+def register_fairseq_stubs(names):
+    """Register throwaway stub modules/classes under real fairseq/omegaconf
+    import paths so torch.save writes a pickle indistinguishable from a true
+    fairseq checkpoint. Returns the created module names for cleanup."""
+    import sys
+    import types
+
+    created = []
+    for modname, classnames in names.items():
+        mod = types.ModuleType(modname)
+        for cn in classnames:
+            cls = type(cn, (), {
+                "__init__": lambda self, *a, **k: self.__dict__.update(k),
+                "__reduce__": lambda self: (
+                    self.__class__, (), dict(self.__dict__)
+                ),
+                "__setstate__": lambda self, st: self.__dict__.update(st),
+            })
+            cls.__module__ = modname
+            setattr(mod, cn, cls)
+        sys.modules[modname] = mod
+        created.append(modname)
+        # parent packages must exist for pickle's __import__
+        parts = modname.split(".")
+        for i in range(1, len(parts)):
+            parent = ".".join(parts[:i])
+            if parent not in sys.modules:
+                sys.modules[parent] = types.ModuleType(parent)
+                created.append(parent)
+        for i in range(1, len(parts)):
+            child = ".".join(parts[: i + 1])
+            setattr(sys.modules[".".join(parts[:i])], parts[i], sys.modules[child])
+    return created
+
+
+def fairseq_format_ckpt(path, sd):
+    """torch.save a checkpoint with the released-file layout: args/cfg
+    (real omegaconf/fairseq class paths), task_state, model tensors,
+    extra_state (reference consumer: nn/wav2vec2.py:311-360)."""
+    import sys
+
+    import torch
+
+    created = register_fairseq_stubs({
+        "omegaconf.dictconfig": ["DictConfig"],
+        "omegaconf.base": ["ContainerMetadata", "Metadata"],
+        "fairseq.dataclass.configs": ["FairseqConfig", "FairseqDataclass"],
+        "fairseq.data.dictionary": ["Dictionary"],
+    })
+    try:
+        from omegaconf.dictconfig import DictConfig  # type: ignore
+        from omegaconf.base import ContainerMetadata  # type: ignore
+        from fairseq.dataclass.configs import FairseqConfig  # type: ignore
+        from fairseq.data.dictionary import Dictionary  # type: ignore
+
+        ckpt = {
+            "args": None,
+            "cfg": DictConfig(
+                _content={"model": FairseqConfig(depth=3)},
+                _metadata=ContainerMetadata(ref_type=None),
+            ),
+            "task_state": {"target_dictionary": Dictionary(symbols=["a", "b"])},
+            "model": {k: torch.tensor(v) for k, v in sd.items()},
+            "extra_state": {"epoch": 3},
+        }
+        torch.save(ckpt, path)
+    finally:
+        for m in created:
+            sys.modules.pop(m, None)
+    return path
+
+
 class TestAdversarialCheckpoints:
     """VERDICT r2 #8: fixtures shaped like *real* fairseq pickles — actual
     ``fairseq.*``/``omegaconf.*`` class paths (stub modules registered only
     while saving), shared/sliced storages, half/bf16 tensors, and truncated
     files — must load (or fail loudly) through the public converter API."""
 
-    def _register(self, names):
-        import sys
-        import types
-
-        created = []
-        for modname, classnames in names.items():
-            mod = types.ModuleType(modname)
-            for cn in classnames:
-                cls = type(cn, (), {
-                    "__init__": lambda self, *a, **k: self.__dict__.update(k),
-                    "__reduce__": lambda self: (
-                        self.__class__, (), dict(self.__dict__)
-                    ),
-                    "__setstate__": lambda self, st: self.__dict__.update(st),
-                })
-                cls.__module__ = modname
-                setattr(mod, cn, cls)
-            sys.modules[modname] = mod
-            created.append(modname)
-            # parent packages must exist for pickle's __import__
-            parts = modname.split(".")
-            for i in range(1, len(parts)):
-                parent = ".".join(parts[:i])
-                if parent not in sys.modules:
-                    sys.modules[parent] = types.ModuleType(parent)
-                    created.append(parent)
-            for i in range(1, len(parts)):
-                child = ".".join(parts[: i + 1])
-                setattr(sys.modules[".".join(parts[:i])], parts[i], sys.modules[child])
-        return created
-
     def _fairseq_path_ckpt(self, tmp_path, sd):
-        import sys
-
-        torch = pytest.importorskip("torch")
-        created = self._register({
-            "omegaconf.dictconfig": ["DictConfig"],
-            "omegaconf.base": ["ContainerMetadata", "Metadata"],
-            "fairseq.dataclass.configs": ["FairseqConfig", "FairseqDataclass"],
-            "fairseq.data.dictionary": ["Dictionary"],
-        })
-        try:
-            from omegaconf.dictconfig import DictConfig  # type: ignore
-            from omegaconf.base import ContainerMetadata  # type: ignore
-            from fairseq.dataclass.configs import FairseqConfig  # type: ignore
-            from fairseq.data.dictionary import Dictionary  # type: ignore
-
-            ckpt = {
-                "args": None,
-                "cfg": DictConfig(
-                    _content={"model": FairseqConfig(depth=3)},
-                    _metadata=ContainerMetadata(ref_type=None),
-                ),
-                "task_state": {"target_dictionary": Dictionary(symbols=["a", "b"])},
-                "model": {k: torch.tensor(v) for k, v in sd.items()},
-                "extra_state": {"epoch": 3},
-            }
-            pt = str(tmp_path / "real_paths.pt")
-            torch.save(ckpt, pt)
-        finally:
-            for m in created:
-                sys.modules.pop(m, None)
-        return pt
+        pytest.importorskip("torch")
+        return fairseq_format_ckpt(str(tmp_path / "real_paths.pt"), sd)
 
     def test_actual_fairseq_class_paths(self, pretrain_params, tmp_path):
         from animal2vec_tpu.train.convert import (
