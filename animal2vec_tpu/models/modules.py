@@ -73,7 +73,7 @@ def quantized_matmul(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
 
     Lane-aligned shapes on TPU route through the fused Pallas kernel
     (ops/int8_mm.int8_dense): slope-measured 301 vs 233 TFLOP/s for the
-    XLA-composed chain at trunk shapes (bench_int8_sweep.py, 2026-08-19 —
+    XLA-composed chain at trunk shapes (bench/int8_sweep.py, 2026-08-19 —
     the round-2 "XLA ties Pallas at 167" was the relay-overhead artifact,
     docs/PERF.md round-3 correction).
 
@@ -214,7 +214,7 @@ class Mlp(nn.Module):
     TPU) routes through the fused Pallas kernel (ops/fused_mlp.py), which
     keeps the (T, 4*dim) GELU intermediate in VMEM: slope-measured
     8.75 -> 6.97 ms (bf16) / 5.41 ms (int8) per a2v-large MLP pair
-    (bench_fused_mlp.py 2026-08-19). GELU runs exact-erf in fp32 (A&S
+    (bench/fused_mlp.py 2026-08-19). GELU runs exact-erf in fp32 (A&S
     7.1.26, max abs err 1.5e-7) — inside the 1e-3 parity budget."""
 
     hidden_dim: int
@@ -493,7 +493,7 @@ class AltBlock(nn.Module):
     ):
         c = self.cfg
         norm = lambda name: Fp32LayerNorm(epsilon=c.norm_eps, use_affine=c.norm_affine, name=name)
-        # int8 placement is measured, not uniform (bench_block_probe.py,
+        # int8 placement is measured, not uniform (bench/block_probe.py,
         # docs/PERF.md round 3): the fused int8 MLP wins 1.5 ms/layer, but
         # int8 qkv/out projections LOSE ~3.5 ms/layer — the bf16 einsums
         # emit the flash kernel's packed layout from the matmul epilogue for

@@ -1,6 +1,6 @@
 """Fused transformer-MLP Pallas kernel: x @ W1 -> GELU -> @ W2 in VMEM.
 
-Why this exists (measured, bench_int8_slope.py 2026-08-19, slope-fit):
+Why this exists (measured, bench/int8_slope.py 2026-08-19, slope-fit):
 
 * a bf16 (65536x1024x4096) + GELU + (65536x4096x1024) MLP runs at
   137 TFLOP/s while the same two matmuls without the GELU run at 179 —

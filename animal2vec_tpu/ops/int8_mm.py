@@ -7,7 +7,7 @@ is a 128 MB tensor, and the rowmax reduce + scale/round/clip/cast writes add
 three full HBM round trips per matmul — measured end-to-end LOSS vs bf16
 (41.4 vs 45.2 clips/s/chip).
 
-Measured verdict (v5e, r2, bench_int8_pallas.py): this fused kernel reaches
+Measured verdict (v5e, r2, bench/int8_pallas.py): this fused kernel reaches
 164 TFLOP/s at the MLP chain shapes — the SAME rate as the XLA-composed
 quantize->dot->dequant chain (167), because XLA fuses the quant/dequant
 epilogues into the dots well enough on its own. The model therefore keeps
@@ -93,7 +93,7 @@ def int8_dense(
     w_scale: jnp.ndarray,   # (M,) f32
     bias: Optional[jnp.ndarray] = None,  # (M,) any float dtype
     block_n: int = 256,
-    block_m: int = 2048,   # bench_int8_sweep.py: 301 TF/s vs 235 at bm=512
+    block_m: int = 2048,   # bench/int8_sweep.py: 301 TF/s vs 235 at bm=512
 ) -> jnp.ndarray:
     """Fused dynamic-per-row-quant int8 matmul: returns x @ dequant(w) with
     int8 MXU arithmetic, (..., M) in x.dtype. Requires C % 128 == 0 and

@@ -11,7 +11,7 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -20,21 +20,11 @@ import numpy as np
 B, T, H, D = 32, 2048, 16, 64
 
 
+from bench.timing import chain_slope  # noqa: E402
+
+
 def slope(name, make_chain, args, iter_counts=(2, 8)):
-    # arrays ride as jit args (closure constants blow the remote-compile
-    # request-size limit)
-    ts = []
-    for it in iter_counts:
-        g = jax.jit(make_chain(it))
-        t0 = time.perf_counter(); float(np.asarray(g(*args))); _ = time.perf_counter() - t0
-        t0 = time.perf_counter(); float(np.asarray(g(*args))); t1 = time.perf_counter() - t0
-        t0 = time.perf_counter(); float(np.asarray(g(*args))); t2 = time.perf_counter() - t0
-        ts.append(min(t1, t2))
-    per = (ts[1] - ts[0]) / (iter_counts[1] - iter_counts[0])
-    print(f"{name:28s} {per * 1e3:9.3f} ms/iter", flush=True)
-    return per
-
-
+    return chain_slope(name, make_chain, args, iter_counts, unit='iter')
 def main():
     from animal2vec_tpu.ops.pallas_attention import (
         alibi_flash_attention, alibi_flash_attention_int8,

@@ -16,7 +16,7 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -25,19 +25,11 @@ import numpy as np
 B, T, H = 32, 2048, 16
 
 
+from bench.timing import chain_slope  # noqa: E402
+
+
 def slope(name, make_chain, args, iter_counts=(2, 8)):
-    ts = []
-    for it in iter_counts:
-        g = jax.jit(make_chain(it))
-        t0 = time.perf_counter(); float(np.asarray(g(*args))); _ = time.perf_counter() - t0
-        t0 = time.perf_counter(); float(np.asarray(g(*args))); t1 = time.perf_counter() - t0
-        t0 = time.perf_counter(); float(np.asarray(g(*args))); t2 = time.perf_counter() - t0
-        ts.append(min(t1, t2))
-    per = (ts[1] - ts[0]) / (iter_counts[1] - iter_counts[0])
-    print(f"{name:28s} {per * 1e3:9.3f} ms/layer", flush=True)
-    return per
-
-
+    return chain_slope(name, make_chain, args, iter_counts, unit='layer')
 def run(d, patch_bias):
     import animal2vec_tpu.ops.pallas_attention as pa
 

@@ -10,7 +10,7 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -19,18 +19,11 @@ import numpy as np
 B, T, C, HEADS = 32, 2048, 1024, 16
 
 
+from bench.timing import fns_slope  # noqa: E402
+
+
 def slope(name, g, args, iter_counts=(2, 8)):
-    ts = []
-    for it, gg in zip(iter_counts, g):
-        t0 = time.perf_counter(); float(np.asarray(gg(*args))); _ = time.perf_counter() - t0
-        t0 = time.perf_counter(); float(np.asarray(gg(*args))); t1 = time.perf_counter() - t0
-        t0 = time.perf_counter(); float(np.asarray(gg(*args))); t2 = time.perf_counter() - t0
-        ts.append(min(t1, t2))
-    per = (ts[1] - ts[0]) / (iter_counts[1] - iter_counts[0])
-    print(f"{name:24s} {per * 1e3:9.3f} ms/layer", flush=True)
-    return per
-
-
+    return fns_slope(name, g, args, iter_counts, unit='layer', label_width=24)
 def main():
     from animal2vec_tpu.models.modules import AltBlock, BlockConfig
     from animal2vec_tpu.models.attention import AlibiSpec

@@ -19,7 +19,7 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -28,36 +28,7 @@ import numpy as np
 QUICK = len(sys.argv) > 1 and sys.argv[1] == "quick"
 
 
-def slope_time(name, body, c0, flops_per_iter, iter_grid=(8, 32, 128), reps=2):
-    """Fit total = a + b*iters over iter_grid; report b (per-iter seconds)."""
-    times = {}
-    for iters in iter_grid:
-        g = jax.jit(
-            lambda c, it=iters: jax.lax.scan(
-                lambda cc, _: (body(cc), None), c, None, length=it
-            )[0].astype(jnp.float32).mean()
-        )
-        s = float(np.asarray(g(c0)))  # warm + compile + sync
-        assert np.isfinite(s), name
-        best = np.inf
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(np.asarray(g(c0)))
-            best = min(best, time.perf_counter() - t0)
-        times[iters] = best
-    its = np.array(sorted(times))
-    ts = np.array([times[i] for i in its])
-    b, a = np.polyfit(its, ts, 1)  # slope, intercept
-    rate = flops_per_iter / b / 1e12
-    print(
-        f"{name:52s} slope {b*1e3:8.3f} ms/iter  {rate:6.1f} TFLOP/s"
-        f"   (fitted overhead {a*1e3:6.1f} ms; naive@{its[-1]} "
-        f"{ts[-1]/its[-1]*1e3:7.3f} ms -> {flops_per_iter/(ts[-1]/its[-1])/1e12:5.1f} TF/s)",
-        flush=True,
-    )
-    return b, a
-
-
+from bench.timing import slope_time  # noqa: E402
 def main():
     rng = np.random.default_rng(0)
     grid = (8, 32) if QUICK else (8, 32, 128)

@@ -10,7 +10,7 @@ default (BASELINE ≤1e-3 max abs) or stays an opt-in fast path.
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -19,33 +19,12 @@ import numpy as np
 from animal2vec_tpu.ops.int8_mm import int8_dense, quantize_weight
 
 
-def slope_time(name, body, c0, flops_per_iter, iter_grid=(8, 32, 96), reps=2):
-    times = {}
-    for iters in iter_grid:
-        g = jax.jit(
-            lambda c, it=iters: jax.lax.scan(
-                lambda cc, _: (body(cc), None), c, None, length=it
-            )[0].astype(jnp.float32).mean()
-        )
-        s = float(np.asarray(g(c0)))
-        assert np.isfinite(s), name
-        best = np.inf
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(np.asarray(g(c0)))
-            best = min(best, time.perf_counter() - t0)
-        times[iters] = best
-    its = np.array(sorted(times))
-    ts = np.array([times[i] for i in its])
-    b, a = np.polyfit(its, ts, 1)
-    print(
-        f"{name:44s} slope {b*1e3:7.3f} ms/iter  "
-        f"{flops_per_iter / b / 1e12:6.1f} TFLOP/s",
-        flush=True,
-    )
+from bench.timing import slope_time as _slope_time  # noqa: E402
+
+
+def slope_time(*a, **k):
+    b, _ = _slope_time(*a, **k)
     return b
-
-
 def main():
     rng = np.random.default_rng(0)
     tb = 65536
