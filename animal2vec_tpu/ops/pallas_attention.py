@@ -883,7 +883,6 @@ def _kernel_serve_nk1(
     sm_scale: float,
     has_sentinel: bool,
     has_mask: bool,
-    uniform_mask: bool,
 ):
     """Serving fast path: batch-uniform positions, one key block (T <=
     block_k — every 10-s serving window), no dropout, no lse. The negated
@@ -941,7 +940,7 @@ def _pallas_serve_nk1(qkv, slope_arr, pos, mask, t_pad, block_q, block_k,
         functools.partial(
             _kernel_serve_nk1,
             sm_scale=d**-0.5, has_sentinel=has_sentinel,
-            has_mask=mask_needed, uniform_mask=uniform_mask,
+            has_mask=mask_needed,
         ),
         grid=grid,
         in_specs=[
