@@ -558,8 +558,8 @@ class AltBlock(nn.Module):
             #    /root/reference/configs/MeerKAT/finetune_mixup_100.yaml) —
             #    the kernel applies hash-counter dropout in VMEM with seeds
             #    drawn from the "dropout" rng (same sites as the XLA path:
-            #    after GELU and on the residual branch; different mask
-            #    realization, identical statistics).
+            #    after GELU, after fc2, and on the residual branch; different
+            #    mask realization, identical statistics).
             # int8 has no vjp and stays serving-only. A2V_FUSED_BLOCK_TRAIN=0
             # confines the kernel to deterministic calls.
             fused_train_ok = (
@@ -598,10 +598,10 @@ class AltBlock(nn.Module):
                         c.norm_eps, w1s, w2s,
                     )
                 else:
-                    if fused_train_drop and not deterministic:
+                    if fused_train_drop:
                         info = jnp.iinfo(jnp.int32)
                         seeds = jax.random.randint(
-                            self.make_rng("dropout"), (2,),
+                            self.make_rng("dropout"), (3,),
                             minval=info.min, maxval=info.max, dtype=jnp.int32,
                         )
                         act_rate = float(c.activation_dropout)

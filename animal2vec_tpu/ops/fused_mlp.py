@@ -175,7 +175,7 @@ def _ln_rows(xf, s_ref, b_ref, eps):
 def _kernel_bf16_block(
     *refs,
     # refs (dropout variant prepends seed_ref):
-    #   [seed_ref]  SMEM (2,) int32 — [activation seed, post-mlp seed]
+    #   [seed_ref]  SMEM (3,) int32 — [act after-GELU, act after-fc2, post-mlp]
     #   x_ref       VMEM (bn, C) — post-attention residual stream
     #   l1s_ref     VMEM (1, C) f32  LN1 scale
     #   l1b_ref     VMEM (1, C) f32  LN1 bias
@@ -230,8 +230,8 @@ def _kernel_bf16_block(
         preferred_element_type=jnp.float32,
     )
 
-    if post_rate > 0.0:
-        # compute the keep mask OUTSIDE the pl.when closure: interpret mode
+    if has_drop:
+        # compute the keep masks OUTSIDE the pl.when closure: interpret mode
         # (CPU tests) substitutes pl.program_id only at the kernel's top
         # level, not inside cond branches
         bn_o, c_o = acc_scr.shape
@@ -239,13 +239,24 @@ def _kernel_bf16_block(
             jnp.int32, (bn_o, 1), 0
         )
         cols_o = jax.lax.broadcasted_iota(jnp.int32, (1, c_o), 1)
-        post_keep = _hash_keep(seed_ref[1], rows_o, cols_o, post_rate)
+    if act_rate > 0.0:
+        # Mlp's SECOND dropout site — after fc2, same rate (timm Mlp drop2;
+        # reference nn/modalities/modules.py:316 with drop=activation_dropout
+        # via nn/data2vec2.py:227). Distinct seed stream from the after-GELU
+        # site so the two masks are independent.
+        fc2_keep = _hash_keep(seed_ref[1], rows_o, cols_o, act_rate)
+    if post_rate > 0.0:
+        post_keep = _hash_keep(seed_ref[2], rows_o, cols_o, post_rate)
 
     @pl.when(mi == n_m - 1)
     def _finish():
-        t = (acc_scr[...] + b2_ref[...]).astype(t_ref.dtype)
-        # the tap is the PRE-post-drop MLP output (AltBlock returns t before
-        # post_drop; only the residual add sees the dropped value)
+        tf = acc_scr[...] + b2_ref[...]
+        if act_rate > 0.0:
+            tf = tf * (fc2_keep / (1.0 - act_rate))
+        t = tf.astype(t_ref.dtype)
+        # the tap is the Mlp output (incl. its internal dropouts) PRE
+        # post-drop (AltBlock returns t before post_drop; only the residual
+        # add sees the post-dropped value)
         t_ref[...] = t
         td = t
         if post_rate > 0.0:
@@ -334,7 +345,7 @@ def fused_block_mlp(
     # the 512-row variant 680 KB over v5e's 16 MB scoped-vmem stack limit
     block_n: int = 256,
     block_m: int = 1024,
-    seeds: Optional[jnp.ndarray] = None,     # (2,) int32 [act, post] hash seeds
+    seeds: Optional[jnp.ndarray] = None,     # (3,) int32 [act_fc1, act_fc2, post]
     act_rate: float = 0.0,
     post_rate: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -349,12 +360,13 @@ def fused_block_mlp(
     (Fp32LayerNorm semantics); the residual add runs in the storage dtype,
     matching the unfused path bit-for-bit in spirit (bf16 add).
 
-    Training with dropout (bf16 only): pass ``seeds`` (two int32 hash seeds)
-    plus static ``act_rate`` (Mlp activation dropout, after GELU) and
-    ``post_rate`` (AltBlock post-mlp dropout on the residual branch). The
-    masks are hash-counter based so the custom_vjp recompute backward
-    regenerates them exactly (reference dropout sites:
-    nn/modalities/modules.py:312-317,330)."""
+    Training with dropout (bf16 only): pass ``seeds`` (three int32 hash
+    seeds) plus static ``act_rate`` (Mlp activation dropout, applied at BOTH
+    timm-Mlp sites: after GELU and after fc2) and ``post_rate`` (AltBlock
+    post-mlp dropout on the residual branch). The masks are hash-counter
+    based so the custom_vjp recompute backward regenerates them exactly
+    (reference dropout sites: nn/modalities/modules.py:312-317,330 with
+    drop=activation_dropout via nn/data2vec2.py:227)."""
     int8 = w1_scale is not None
     act_rate = float(act_rate)
     post_rate = float(post_rate)
@@ -459,9 +471,9 @@ def _pallas_bf16_block(x2, l1s, l1b, w1, b1v, w2, b2v, l2s, l2b,
     ]
     args = [x2, l1s, l1b, w1, b1v, w2, b2v, l2s, l2b]
     if has_drop:
-        # training path: [act, post] int32 hash seeds ride SMEM
+        # training path: [act_fc1, act_fc2, post] int32 hash seeds ride SMEM
         in_specs.insert(0, pl.BlockSpec(memory_space=pltpu.SMEM))
-        args.insert(0, seeds.astype(jnp.int32).reshape(2))
+        args.insert(0, seeds.astype(jnp.int32).reshape(3))
     xo, t = pl.pallas_call(
         functools.partial(
             _kernel_bf16_block, n_m=n_m, eps=eps,
@@ -500,15 +512,19 @@ def _ref_block_bf16(x2, l1s, l1b, w1, b1v, w2, b2v, l2s, l2b, eps,
     if act_rate > 0.0:
         cols = jax.lax.broadcasted_iota(jnp.int32, (1, h.shape[1]), 1)
         h = h * (_hash_keep(seeds[0], rows, cols, act_rate) / (1.0 - act_rate))
-    t = jax.lax.dot_general(
+    tf = jax.lax.dot_general(
         h.astype(w2.dtype), w2, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
-    t = (t + b2v).astype(x2.dtype)
+    ) + b2v
+    if act_rate > 0.0:
+        # Mlp's second dropout site (after fc2, same rate — timm Mlp drop2)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, tf.shape[1]), 1)
+        tf = tf * (_hash_keep(seeds[1], rows, cols, act_rate) / (1.0 - act_rate))
+    t = tf.astype(x2.dtype)
     td = t
     if post_rate > 0.0:
         cols = jax.lax.broadcasted_iota(jnp.int32, (1, t.shape[1]), 1)
-        keep = _hash_keep(seeds[1], rows, cols, post_rate)
+        keep = _hash_keep(seeds[2], rows, cols, post_rate)
         td = (t.astype(jnp.float32) * (keep / (1.0 - post_rate))).astype(t.dtype)
     z = r + td
     xo = ln(z, l2s, l2b).astype(x2.dtype)

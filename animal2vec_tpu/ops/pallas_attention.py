@@ -56,12 +56,27 @@ def _bcast_positions(positions, b: int):
     return positions
 
 
+def _fwd_blocks(t: int, block_q: int, block_k: int):
+    """Forward tile sizes + padded length with the grid-covering invariant:
+    the smaller tile divides the larger one, so both divide
+    t_pad = ceil(t, max(bq, bk)) and the (n_q, n_k) grid covers every query
+    row and key. Without the invariant, e.g. t=1600 with the 1024/2048
+    defaults clamps bk to 1664 while bq stays 1024, t_pad = 1664, and
+    n_q = 1664 // 1024 = 1 — query rows 1024..1663 are never written
+    (silent uninitialized output)."""
+    bq = min(block_q, _ceil_to(t, 128))
+    bk = min(block_k, _ceil_to(t, 128))
+    if bk > bq:
+        bk = bk // bq * bq
+    elif bq > bk:
+        bq = bq // bk * bk
+    return bq, bk, _ceil_to(t, max(bq, bk))
+
+
 def attention_padded_len(t: int, block_q: int = 1024, block_k: int = 2048) -> int:
     """The sequence length the kernel will pad to. Callers can pad once at
     trunk level (with masked keys) so the per-layer kernel pad is a no-op."""
-    bq = min(block_q, _ceil_to(t, 128))
-    bk = min(block_k, _ceil_to(t, 128))
-    return _ceil_to(t, max(bq, bk))
+    return _fwd_blocks(t, block_q, block_k)[2]
 
 
 def _dropout_keep(seed, bh_id, rows, cols, rate: float):
@@ -215,9 +230,7 @@ def _pallas_forward(
     positions_k = _bcast_positions(positions_k, b)
     # block sizes stay multiples of 128 (lane rule for the position/mask
     # vectors); t is padded up to a block multiple with masked keys
-    block_q = min(block_q, _ceil_to(t, 128))
-    block_k = min(block_k, _ceil_to(t, 128))
-    t_pad = _ceil_to(t, max(block_q, block_k))
+    block_q, block_k, t_pad = _fwd_blocks(t, block_q, block_k)
 
     def pad_seq(x, value=0, axis=1):
         if t_pad == t:
@@ -508,11 +521,14 @@ def _pallas_backward(
         ],
         out_specs=[
             pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
-            pl.BlockSpec((1, 1, 1, 128), lambda bi, hi, qi, ki: (bi, hi, 0, 0)),
+            # one dsl block PER q block (indexed by qi): writing them all to
+            # (bi, hi, 0, 0) would overwrite across qi and keep only the last
+            # q block's partial sum — summed over qi outside the kernel
+            pl.BlockSpec((1, 1, 1, 128), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, h, t_pad, d), dtype),
-            jax.ShapeDtypeStruct((b, h, 1, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, n_q, 128), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, d), jnp.float32),
@@ -562,7 +578,7 @@ def _pallas_backward(
         interpret=interpret,
     )(slope_arr, seed_arr, q, k, v, do, lse_r, delta_r, pos, pos, mask)
 
-    dslopes = dsl[:, :, 0, 0].sum(axis=0)  # (H,)
+    dslopes = dsl[:, :, :, 0].sum(axis=(0, 2))  # (H,)
     return dq[:, :, :t], dk[:, :, :t], dv[:, :, :t], dslopes
 
 
@@ -783,9 +799,7 @@ def alibi_flash_attention_int8(
     b, t, h, d = q.shape
     dtype = q.dtype
     positions = _bcast_positions(positions, b)
-    block_q = min(block_q, _ceil_to(t, 128))
-    block_k = min(block_k, _ceil_to(t, 128))
-    t_pad = _ceil_to(t, max(block_q, block_k))
+    block_q, block_k, t_pad = _fwd_blocks(t, block_q, block_k)
 
     def pad_seq(x, value=0, axis=1):
         if t_pad == t:
@@ -993,9 +1007,7 @@ def _pallas_forward_packed(
     _, b, h, t, d = qkv.shape
     dtype = qkv.dtype
     uniform = positions.shape[0] == 1
-    block_q = min(block_q, _ceil_to(t, 128))
-    block_k = min(block_k, _ceil_to(t, 128))
-    t_pad = _ceil_to(t, max(block_q, block_k))
+    block_q, block_k, t_pad = _fwd_blocks(t, block_q, block_k)
     if t_pad != t:
         qkv = jnp.pad(qkv, ((0, 0), (0, 0), (0, 0), (0, t_pad - t), (0, 0)))
         positions_p = jnp.pad(positions.astype(jnp.int32), ((0, 0), (0, t_pad - t)))
@@ -1032,8 +1044,12 @@ def _pallas_forward_packed(
     ):
         # serving fast path: the distance tile is computed once per q block
         # and reused across the (b, h) sweep; block_q 512 keeps the fp32
-        # scratch + score temps inside the scoped-VMEM budget
+        # scratch + score temps inside the scoped-VMEM budget. bq_s must
+        # divide t_pad (grid = t_pad // bq_s) — step down to a divisor for
+        # lengths that are not 512-multiples (e.g. t_pad=896 -> bq_s=128)
         bq_s = min(512, block_q)
+        while t_pad % bq_s:
+            bq_s -= 128
         out = _pallas_serve_nk1(
             qkv, slope_arr, pos, mask, t_pad, bq_s, block_k,
             has_sentinel, mask_needed, uniform_mask, interpret,

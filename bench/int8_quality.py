@@ -21,7 +21,7 @@ def build(matmul_impl):
     from animal2vec_tpu.config import load_config
     from animal2vec_tpu.train.build import build_finetune_model
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     overrides = ["finetune.w2v_path=", "common.compute_dtype=bfloat16"]
     if matmul_impl:
         overrides.append(f"model.matmul_impl={matmul_impl}")

@@ -70,7 +70,7 @@ def main():
     timed("stock pallas flash (no bias)", stock, q, flops=afl)
 
     # ---- our kernel full (from bench_kernels)
-    from bench_kernels import attn_v2
+    from bench.kernels import attn_v2
     from animal2vec_tpu.ops.alibi import alibi_slopes
 
     qkv = jnp.stack([q, q, q])

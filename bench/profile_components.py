@@ -55,7 +55,7 @@ def main():
         from animal2vec_tpu.config import load_config
         from animal2vec_tpu.train.build import build_finetune_model
 
-        here = os.path.dirname(os.path.abspath(__file__))
+        here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         cfg = load_config(
             os.path.join(here, "animal2vec_tpu/configs/finetune_100.yaml"),
             overrides=["finetune.w2v_path=", "common.compute_dtype=bfloat16"],

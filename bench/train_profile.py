@@ -47,7 +47,7 @@ def finetune_pieces(remat: bool, fwd_only: bool = False):
     from animal2vec_tpu.train.build import init_finetune
     from animal2vec_tpu.train.finetune_step import make_finetune_train_step
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     cfg = load_config(
         os.path.join(here, "animal2vec_tpu/configs/finetune_100.yaml"),
         overrides=[
@@ -78,7 +78,7 @@ def pretrain_pieces(remat: bool):
     from animal2vec_tpu.train.build import init_pretrain
     from animal2vec_tpu.train.pretrain import make_pretrain_train_step
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     cfg = load_config(
         os.path.join(here, "animal2vec_tpu/configs/a2v_large_pretrain.yaml"),
         overrides=[
@@ -141,7 +141,7 @@ def main():
 
         # rebuild with the raw pieces for a clean closure
         from animal2vec_tpu.config import load_config
-        here = os.path.dirname(os.path.abspath(__file__))
+        here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         cfg = load_config(
             os.path.join(here, "animal2vec_tpu/configs/finetune_100.yaml"),
             overrides=["finetune.w2v_path=", "common.compute_dtype=bfloat16",

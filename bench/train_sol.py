@@ -35,7 +35,7 @@ def build(batch):
     from animal2vec_tpu.config import load_config
     from animal2vec_tpu.train.build import init_pretrain
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     cfg = load_config(
         os.path.join(here, "animal2vec_tpu/configs/a2v_large_pretrain.yaml"),
         overrides=[

@@ -212,7 +212,7 @@ class TestFusedBlock:
 
         x, w1, b1, w2, b2 = make(150, 128, 256, 128, seed=40)
         l1s, l1b, l2s, l2b = make_ln(128, 41)
-        seeds = jnp.asarray([123456789, -987654321], jnp.int32)
+        seeds = jnp.asarray([123456789, -987654321, 31337], jnp.int32)
         xo, t = fused_block_mlp(
             x, l1s, l1b, w1, w2, b1, b2, l2s, l2b, 1e-5,
             block_n=64, block_m=128,
@@ -232,6 +232,31 @@ class TestFusedBlock:
             seeds=seeds + 1, act_rate=0.25, post_rate=0.1,
         )
         assert not np.allclose(np.asarray(xo2), np.asarray(xo))
+
+    def test_fc2_site_dropout_zeroes_tap(self):
+        # the Mlp applies activation dropout at BOTH timm sites (after GELU
+        # and after fc2 — reference nn/modalities/modules.py:316 with
+        # drop=activation_dropout). The after-fc2 site produces exact zeros
+        # in the tap at ~act_rate; a kernel missing that site produces none.
+        from animal2vec_tpu.ops.fused_mlp import fused_block_mlp
+
+        x, w1, b1, w2, b2 = make(256, 128, 256, 128, seed=50)
+        l1s, l1b, l2s, l2b = make_ln(128, 51)
+        seeds = jnp.asarray([1, 2, 3], jnp.int32)
+        _, t = fused_block_mlp(
+            x, l1s, l1b, w1, w2, b1, b2, l2s, l2b, 1e-5,
+            block_n=64, block_m=128,
+            seeds=seeds, act_rate=0.5, post_rate=0.0,
+        )
+        zero_frac = float(jnp.mean(t == 0.0))
+        assert abs(zero_frac - 0.5) < 0.05, zero_frac
+        # and the two act-site masks are independent realizations: the
+        # after-GELU site alone cannot create exact zero columns in t
+        _, t0 = fused_block_mlp(
+            x, l1s, l1b, w1, w2, b1, b2, l2s, l2b, 1e-5,
+            block_n=64, block_m=128,
+        )
+        assert float(jnp.mean(t0 == 0.0)) < 0.01
 
     def test_hash_keep_statistics(self):
         # the murmur-style keep mask must drop ~rate of positions, decorrelated
@@ -254,7 +279,7 @@ class TestFusedBlock:
 
         x, w1, b1, w2, b2 = make(64, 128, 128, 128, seed=42)
         l1s, l1b, l2s, l2b = make_ln(128, 43)
-        seeds = jnp.asarray([55, 66], jnp.int32)
+        seeds = jnp.asarray([55, 66, 77], jnp.int32)
         rng = np.random.default_rng(44)
         go = jnp.asarray(rng.normal(size=(64, 128)).astype(np.float32))
         gt = jnp.asarray(rng.normal(size=(64, 128)).astype(np.float32))

@@ -461,3 +461,114 @@ class TestInt8Kernel:
         assert ours.dtype == jnp.bfloat16
         ref = _reference_attention(q, k, v, slopes, pos, None)
         self._check(ours, ref, atol=0.1, rel_rms=0.06)
+
+
+class TestNonDivisibleGrids:
+    """Lengths where a clamped block does not divide the padded length.
+
+    Regression for a silent-garbage class: e.g. t=1600 with the 1024/2048
+    defaults used to clamp block_k to ceil128(t)=1664 while block_q stayed
+    1024, t_pad=1664, and n_q = 1664 // 1024 = 1 — query rows 1024..1663
+    were never written (uninitialized output). _fwd_blocks now floors the
+    larger block to a multiple of the smaller so the grid always covers."""
+
+    def test_fwd_blocks_invariant(self):
+        from animal2vec_tpu.ops.pallas_attention import (
+            _fwd_blocks,
+            attention_padded_len,
+        )
+
+        for t in range(128, 4097, 128):
+            for bq0, bk0 in ((1024, 2048), (512, 512), (256, 1024), (2048, 512)):
+                bq, bk, t_pad = _fwd_blocks(t, bq0, bk0)
+                assert t_pad >= t
+                assert t_pad % bq == 0 and t_pad % bk == 0, (t, bq0, bk0, bq, bk, t_pad)
+                assert bq % 128 == 0 and bk % 128 == 0
+        assert attention_padded_len(1600) == 2048
+
+    def test_general_path_nondivisible_default_blocks(self):
+        # t=1600 through the per-tensor entry with the DEFAULT block sizes
+        b, t, h, d = 1, 1600, 2, 8
+        q, k, v = make_qkv(b, t, h, d, seed=21)
+        slopes = jnp.asarray(alibi_slopes(h))
+        pos = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32)[None], (b, t))
+        ours, _ = _pallas_forward(q, k, v, slopes, pos, None)
+        ref = _reference_attention(q, k, v, slopes, pos, None)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=2e-3, atol=2e-4)
+
+    def test_packed_uniform_nondivisible_default_blocks(self):
+        # t=1664 with (1, T) serving positions and default blocks: previously
+        # eligible for the nk1 fast path with a truncated grid (rows 1536..
+        # uninitialized); now the covering invariant reroutes it correctly
+        from animal2vec_tpu.ops.pallas_attention import _pallas_forward_packed
+
+        b, t, h, d = 1, 1664, 2, 8
+        q, k, v = make_qkv(b, t, h, d, seed=22)
+        slopes = jnp.asarray(alibi_slopes(h))
+        pos1 = jnp.arange(t, dtype=jnp.int32)[None]
+        posb = jnp.broadcast_to(pos1, (b, t))
+        packed = jnp.stack([jnp.swapaxes(x, 1, 2) for x in (q, k, v)], axis=0)
+        ours, _ = _pallas_forward_packed(packed, slopes, pos1, None, save_lse=False)
+        ref = jnp.swapaxes(_reference_attention(q, k, v, slopes, posb, None), 1, 2)
+        np.testing.assert_allclose(
+            np.asarray(ours), np.asarray(ref), rtol=2e-3, atol=2e-4
+        )
+        # tail rows specifically (the previously-garbage region)
+        np.testing.assert_allclose(
+            np.asarray(ours[:, :, 1536:]), np.asarray(ref[:, :, 1536:]),
+            rtol=2e-3, atol=2e-4,
+        )
+
+    def test_serve_nk1_bq_steps_down_to_divisor(self):
+        # t=800 pads to 896 (one key block): the nk1 fast path must step
+        # bq_s down from 512 to a divisor of 896 (=128) instead of
+        # truncating the grid at 512
+        from animal2vec_tpu.ops.pallas_attention import _pallas_forward_packed
+
+        b, t, h, d = 2, 800, 2, 8
+        q, k, v = make_qkv(b, t, h, d, seed=23)
+        slopes = jnp.asarray(alibi_slopes(h))
+        pos1 = jnp.arange(t, dtype=jnp.int32)[None]
+        posb = jnp.broadcast_to(pos1, (b, t))
+        packed = jnp.stack([jnp.swapaxes(x, 1, 2) for x in (q, k, v)], axis=0)
+        ours, _ = _pallas_forward_packed(packed, slopes, pos1, None, save_lse=False)
+        ref = jnp.swapaxes(_reference_attention(q, k, v, slopes, posb, None), 1, 2)
+        np.testing.assert_allclose(
+            np.asarray(ours), np.asarray(ref), rtol=2e-3, atol=2e-4
+        )
+
+    def test_small_block_q_nondivisible(self):
+        # block_q=256 / block_k=512 at t=384: bk clamps to 384 then floors
+        # to 256; t_pad=512 covers with a 2x2 grid (was n_q=1: rows 256..
+        # uninitialized)
+        b, t, h, d = 1, 384, 2, 8
+        q, k, v = make_qkv(b, t, h, d, seed=24)
+        slopes = jnp.asarray(alibi_slopes(h))
+        pos = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32)[None], (b, t))
+        ours, _ = _pallas_forward(q, k, v, slopes, pos, None, block_q=256, block_k=512)
+        ref = _reference_attention(q, k, v, slopes, pos, None)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=2e-3, atol=2e-4)
+
+    def test_backward_nondivisible_length(self):
+        # gradients at an awkward length (t=1600, default training entry)
+        b, t, h, d = 1, 1600, 2, 8
+        q, k, v = make_qkv(b, t, h, d, seed=25)
+        slopes = jnp.asarray(alibi_slopes(h))
+        pos = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32)[None], (b, t))
+
+        def loss_pallas(q, k, v, s):
+            out = alibi_flash_attention(q, k, v, s, pos, None, True, False)
+            return (out.astype(jnp.float32) ** 2).sum()
+
+        def loss_ref(q, k, v, s):
+            return (
+                _reference_attention(q, k, v, s, pos, None).astype(jnp.float32) ** 2
+            ).sum()
+
+        g1 = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(q, k, v, slopes)
+        g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, slopes)
+        for i, (a, r) in enumerate(zip(g1, g2)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(r), rtol=2e-3, atol=2e-3,
+                err_msg=f"grad arg {i}",
+            )
