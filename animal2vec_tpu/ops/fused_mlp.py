@@ -231,27 +231,27 @@ def _kernel_bf16_block(
     )
 
     if has_drop:
-        # compute the keep masks OUTSIDE the pl.when closure: interpret mode
-        # (CPU tests) substitutes pl.program_id only at the kernel's top
-        # level, not inside cond branches
+        # only the pl.program_id-dependent index math is hoisted out of the
+        # pl.when closure (interpret mode substitutes pl.program_id at the
+        # kernel's top level only); the _hash_keep masks themselves are pure
+        # on these indices and run inside _finish so the n_m - 1 earlier
+        # grid steps don't evaluate and discard them
         bn_o, c_o = acc_scr.shape
         rows_o = pl.program_id(0) * bn_o + jax.lax.broadcasted_iota(
             jnp.int32, (bn_o, 1), 0
         )
         cols_o = jax.lax.broadcasted_iota(jnp.int32, (1, c_o), 1)
-    if act_rate > 0.0:
-        # Mlp's SECOND dropout site — after fc2, same rate (timm Mlp drop2;
-        # reference nn/modalities/modules.py:316 with drop=activation_dropout
-        # via nn/data2vec2.py:227). Distinct seed stream from the after-GELU
-        # site so the two masks are independent.
-        fc2_keep = _hash_keep(seed_ref[1], rows_o, cols_o, act_rate)
-    if post_rate > 0.0:
-        post_keep = _hash_keep(seed_ref[2], rows_o, cols_o, post_rate)
 
     @pl.when(mi == n_m - 1)
     def _finish():
         tf = acc_scr[...] + b2_ref[...]
         if act_rate > 0.0:
+            # Mlp's SECOND dropout site — after fc2, same rate (timm Mlp
+            # drop2; reference nn/modalities/modules.py:316 with
+            # drop=activation_dropout via nn/data2vec2.py:227). Distinct
+            # seed stream from the after-GELU site so the masks are
+            # independent.
+            fc2_keep = _hash_keep(seed_ref[1], rows_o, cols_o, act_rate)
             tf = tf * (fc2_keep / (1.0 - act_rate))
         t = tf.astype(t_ref.dtype)
         # the tap is the Mlp output (incl. its internal dropouts) PRE
@@ -260,6 +260,7 @@ def _kernel_bf16_block(
         t_ref[...] = t
         td = t
         if post_rate > 0.0:
+            post_keep = _hash_keep(seed_ref[2], rows_o, cols_o, post_rate)
             td = (
                 t.astype(jnp.float32) * (post_keep / (1.0 - post_rate))
             ).astype(t.dtype)

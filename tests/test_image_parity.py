@@ -18,8 +18,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-import torch
-import torch.nn as tnn
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn  # noqa: E402
 
 from animal2vec_tpu.config import ImageModalityConfig
 from animal2vec_tpu.models.images import (
