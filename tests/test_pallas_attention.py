@@ -549,6 +549,33 @@ class TestNonDivisibleGrids:
         ref = _reference_attention(q, k, v, slopes, pos, None)
         np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=2e-3, atol=2e-4)
 
+    @pytest.mark.parametrize("t", [137, 800, 1664])
+    def test_padding_mask_at_nondivisible_lengths(self, t):
+        # padding mask x non-divisible length: masked tail keys must not
+        # leak into the covered grid's outputs on either entry
+        from animal2vec_tpu.ops.pallas_attention import _pallas_forward_packed
+
+        b, h, d = 2, 2, 8
+        q, k, v = make_qkv(b, t, h, d, seed=t)
+        slopes = jnp.asarray(alibi_slopes(h))
+        posb = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32)[None], (b, t))
+        mask = jnp.asarray(
+            np.pad(np.zeros((b, t - 17), np.int32), ((0, 0), (0, 17)),
+                   constant_values=1)
+        )
+        ref = _reference_attention(q, k, v, slopes, posb, mask)[:, : t - 17]
+        ours, _ = _pallas_forward(q, k, v, slopes, posb, mask)
+        np.testing.assert_allclose(
+            np.asarray(ours[:, : t - 17]), np.asarray(ref), rtol=2e-3, atol=2e-4
+        )
+        packed = jnp.stack([jnp.swapaxes(x, 1, 2) for x in (q, k, v)], axis=0)
+        pos1 = jnp.arange(t, dtype=jnp.int32)[None]
+        op, _ = _pallas_forward_packed(packed, slopes, pos1, mask, save_lse=False)
+        np.testing.assert_allclose(
+            np.asarray(jnp.swapaxes(op, 1, 2)[:, : t - 17]), np.asarray(ref),
+            rtol=2e-3, atol=2e-4,
+        )
+
     def test_backward_nondivisible_length(self):
         # gradients at an awkward length (t=1600, default training entry)
         b, t, h, d = 1, 1600, 2, 8
