@@ -352,8 +352,11 @@ class ModelConfig:
     # rematerialize transformer blocks during training to save HBM
     remat: bool = True
     # "mlp": recompute only the MLP sub-block in the backward (attention
-    # keeps its flash residuals; ~15-20% faster step); "block": recompute
-    # whole blocks (smallest memory footprint)
+    # keeps its flash residuals; ~15-20% faster step); "attn": recompute
+    # the attention sub-block too (block-remat memory to within one
+    # (B, T, C) stream per layer, but each sub-block recomputes exactly
+    # once — "block" re-runs the fused MLP kernel twice); "block":
+    # recompute whole blocks (smallest memory footprint)
     remat_scope: str = "mlp"
     # rematerialize the conv frontend (sinc + feature stack) in the backward:
     # its wav-rate activations (~80k samples deep) are large autodiff

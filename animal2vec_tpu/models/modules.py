@@ -476,11 +476,21 @@ class AltBlock(nn.Module):
     masks — the dominant activation stash at 4x dim) during the backward,
     while the attention sub-block keeps its custom_vjp residuals (lane-dense
     via the btc flash entry). Cheaper than whole-block remat: the flash
-    forward and qkv/out projections are never recomputed."""
+    forward and qkv/out projections are never recomputed.
+
+    remat_attn: additionally rematerialize the attention sub-block (qkv
+    projection + flash forward + out projection). Combined with remat_mlp
+    (whose fused-block custom_vjp already recomputes the MLP from the block
+    inputs) this saves the same activations as whole-block remat to within
+    one (B, T, C) stream per layer, but the backward recomputes each
+    sub-block exactly ONCE — whole-block remat recomputes the fused MLP
+    kernel a second time (remat recompute + the vjp's own internal
+    recompute) before its grads run."""
 
     cfg: BlockConfig
     dtype: Any = jnp.float32
     remat_mlp: bool = False
+    remat_attn: bool = False
 
     @nn.compact
     def __call__(
@@ -500,7 +510,13 @@ class AltBlock(nn.Module):
         # free, while a Pallas int8 producer forces explicit 400 MB/layer
         # transposes. "int8" therefore quantizes the MLP only; "int8_attn"
         # (the measured-and-rejected full-int8 mode) keeps int8 everywhere.
-        attn = AltAttention(
+        attn_cls = AltAttention
+        if self.remat_attn:
+            # deterministic is static arg 4 (self=0); rng streams replay
+            # identically in the recompute (flax remat semantics), so the
+            # in-kernel attention dropout masks match between passes
+            attn_cls = nn.remat(AltAttention, static_argnums=(4,), prevent_cse=False)
+        attn = attn_cls(
             num_heads=c.num_heads,
             attn_drop=c.attention_dropout,
             proj_drop=c.encoder_dropout,
@@ -693,14 +709,23 @@ class BlockStack(nn.Module):
 
         block_cls = AltBlock
         remat_mlp = False
+        remat_attn = False
         if self.remat and self.cfg.remat_scope == "block":
+            # drop_path_rate is static when drop-path is off (body passes
+            # the literal 0.0): jax.checkpoint would otherwise trace it,
+            # failing AltBlock's isinstance-float gate so the fused block
+            # kernel silently never engaged under block remat
             block_cls = nn.remat(
                 AltBlock,
-                static_argnums=(5,),
+                static_argnums=(4, 5) if no_dp else (5,),
                 prevent_cse=False,
             )
-        elif self.remat:  # "mlp": rematerialize only the MLP sub-block
+        elif self.remat:
+            # "mlp": rematerialize only the MLP sub-block;
+            # "attn": MLP + attention sub-blocks (block-remat memory, one
+            # recompute per sub-block instead of two for the fused MLP)
             remat_mlp = True
+            remat_attn = self.cfg.remat_scope == "attn"
 
         from animal2vec_tpu.models.attention import AlibiSpec
 
@@ -757,7 +782,8 @@ class BlockStack(nn.Module):
             length=self.depth,
         )
         block = block_cls(
-            cfg=self.cfg, dtype=self.dtype, remat_mlp=remat_mlp, name="block"
+            cfg=self.cfg, dtype=self.dtype, remat_mlp=remat_mlp,
+            remat_attn=remat_attn, name="block"
         )
         if streaming:
             acc0 = jnp.zeros(x.shape, jnp.float32)
@@ -849,6 +875,8 @@ class BlockStack(nn.Module):
         block_module = AltBlock(
             cfg=c, dtype=self.dtype,
             remat_mlp=self.remat and not remat_block,
+            remat_attn=self.remat and not remat_block
+            and c.remat_scope == "attn",
         )
 
         def block_apply_mb(p_l, xl, slope_l, pos_c, pm_c, rate, key):

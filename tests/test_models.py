@@ -442,3 +442,67 @@ class TestLayerdrop:
         # dropped layers pass x through: their tap equals the incoming carry,
         # but the weighted average excludes them regardless of the value
         assert taps.shape == (4, 2, 6, 16)
+
+
+class TestRematScopes:
+    """Rematerialization must be numerics-neutral: grads under
+    remat_scope in {"block", "mlp", "attn"} match the no-remat stack
+    exactly (same ops, identical rng replay in the recompute).
+
+    The "attn" scope (round 4) remats the attention sub-block on top of
+    the self-rematting fused MLP block — block-remat memory, but each
+    sub-block recomputes once instead of the fused kernel re-running
+    twice ("block" scope's remat recompute + the vjp's own recompute)."""
+
+    def _grads(self, scope, fused, monkeypatch, dropout=True):
+        monkeypatch.setenv("A2V_PALLAS_SERVE", "1" if fused else "0")
+        cfg = BlockConfig(
+            dim=128, num_heads=2, mlp_ratio=2.0, layer_norm_first=False,
+            attention_dropout=0.3 if dropout else 0.0,
+            activation_dropout=0.2 if dropout else 0.0,
+            remat_scope=scope,
+        )
+        stack = BlockStack(depth=2, cfg=cfg, remat=scope != "none")
+        rng = np.random.default_rng(40)
+        x = jnp.asarray(rng.normal(size=(2, 32, 128)).astype(np.float32))
+        gx = jnp.asarray(rng.normal(size=(2, 32, 128)).astype(np.float32))
+        params = stack.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            x, None, None, False,
+        )
+
+        def loss(p):
+            y, _, _ = stack.apply(
+                p, x, None, None, False,
+                rngs={"dropout": jax.random.PRNGKey(7)},
+            )
+            return jnp.sum(y * gx)
+
+        v, g = jax.value_and_grad(loss)(params)
+        return float(v), g
+
+    @pytest.mark.parametrize("fused", [False, True])
+    def test_all_scopes_match_no_remat(self, monkeypatch, fused):
+        v0, g0 = self._grads("none", fused, monkeypatch)
+        leaves0 = jax.tree_util.tree_leaves(g0)
+        for scope in ("block", "mlp", "attn"):
+            v, g = self._grads(scope, fused, monkeypatch)
+            np.testing.assert_allclose(v, v0, rtol=1e-5, err_msg=scope)
+            for a, b in zip(jax.tree_util.tree_leaves(g), leaves0):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5,
+                    err_msg=scope,
+                )
+
+    def test_attn_scope_zero_dropout_fused(self, monkeypatch):
+        # the pretrain recipe shape: zero branch dropouts, fused block vjp
+        # + attention remat composing inside one scanned block
+        v0, g0 = self._grads("block", True, monkeypatch, dropout=False)
+        v, g = self._grads("attn", True, monkeypatch, dropout=False)
+        np.testing.assert_allclose(v, v0, rtol=1e-5)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g), jax.tree_util.tree_leaves(g0)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+            )
