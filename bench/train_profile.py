@@ -53,6 +53,7 @@ def finetune_pieces(remat: bool, fwd_only: bool = False):
         overrides=[
             "finetune.w2v_path=", "common.compute_dtype=bfloat16",
             "optimization.update_freq=1", f"model.remat={str(remat).lower()}",
+            "model.remat_scope=" + os.environ.get("REMAT", "mlp"),
         ],
     )
     batch = int(os.environ.get("B", "6"))

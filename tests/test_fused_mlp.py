@@ -525,3 +525,56 @@ class TestMlpModuleRouting:
         params = mlp.init({"params": jax.random.PRNGKey(0)}, x, True)
         out = mlp.apply(params, x, True)  # must not hit the 128-divisible assert
         assert out.shape == (1, 16, 96)
+
+
+class TestFusedEngagesUnderRemat:
+    """Regression guard for the round-4 finding: under nn.remat the literal
+    drop_path_rate=0.0 was traced into a tracer, so AltBlock's
+    isinstance-float gate silently routed block-remat TRAINING through the
+    unfused XLA MLP — no error, wrong (slower) program, and every A/B
+    against it measured noise. Assert the kernel is actually reached, at
+    trace time, through value_and_grad for every remat scope the configs
+    ship (block = generic yaml fallback, attn = v5e pretrain recipe,
+    mlp = finetune default)."""
+
+    @pytest.mark.parametrize("scope", ["block", "attn", "mlp"])
+    @pytest.mark.parametrize("act_drop", [0.0, 0.2])
+    def test_training_backward_reaches_kernel(self, monkeypatch, scope, act_drop):
+        import animal2vec_tpu.ops.fused_mlp as fm
+        from animal2vec_tpu.models.modules import BlockConfig, BlockStack
+
+        calls = []
+        orig = fm.fused_block_mlp
+
+        def spy(*a, **k):
+            calls.append(scope)
+            return orig(*a, **k)
+
+        monkeypatch.setattr(fm, "fused_block_mlp", spy)
+        monkeypatch.setenv("A2V_PALLAS_SERVE", "1")
+        cfg = BlockConfig(
+            dim=128, num_heads=2, mlp_ratio=2.0, layer_norm_first=False,
+            activation_dropout=act_drop, remat_scope=scope,
+        )
+        stack = BlockStack(depth=2, cfg=cfg, remat=True)
+        rng = np.random.default_rng(50)
+        x = jnp.asarray(rng.normal(size=(1, 32, 128)).astype(np.float32))
+        params = stack.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            x, None, None, False,
+        )
+
+        def loss(p):
+            y, _, _ = stack.apply(
+                p, x, None, None, False,
+                rngs={"dropout": jax.random.PRNGKey(7)},
+            )
+            return jnp.sum(y**2)
+
+        calls.clear()
+        v, g = jax.value_and_grad(loss)(params)
+        assert calls, (
+            f"fused_block_mlp never reached under remat_scope={scope} "
+            f"(training, act_drop={act_drop}) — the tracer-gate regression"
+        )
+        assert np.isfinite(float(v))
