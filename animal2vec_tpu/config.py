@@ -362,6 +362,11 @@ class ModelConfig:
     # its wav-rate activations (~80k samples deep) are large autodiff
     # residuals but cheap to recompute (<8% of step FLOPs)
     remat_frontend: bool = False
+    # rematerialize the d2v decoders (grouped-conv stacks run at FULL
+    # sequence length on every clone row): their (B*clone, T, C) conv
+    # activations are ~1 GB/step at the v5e b8 recipe but recompute in
+    # ~5 ms — freeing them is what admits batch 9+ on 16 GB chips
+    remat_decoder: bool = False
     # >1 pipelines the trunk over a "stage" mesh axis (parallel/pipeline.py);
     # set via distributed.pipeline_parallel, copied in by the model builders
     pipeline_stages: int = 1

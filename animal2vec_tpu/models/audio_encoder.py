@@ -73,6 +73,7 @@ class AudioEncoder(nn.Module):
     block_cfg: BlockConfig
     remat: bool = False
     remat_frontend: bool = False
+    remat_decoder: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -118,7 +119,12 @@ class AudioEncoder(nn.Module):
         )
         if self.cfg.decoder is not None:
             d = self.cfg.decoder
-            self.decoder = Decoder1d(
+            dec_cls = (
+                nn.remat(Decoder1d, prevent_cse=False)
+                if self.remat and self.remat_decoder
+                else Decoder1d
+            )
+            self.decoder = dec_cls(
                 decoder_dim=d.decoder_dim,
                 decoder_kernel=d.decoder_kernel,
                 decoder_groups=d.decoder_groups,

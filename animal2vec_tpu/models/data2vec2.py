@@ -92,6 +92,7 @@ class Data2VecMulti(nn.Module):
                 block_cfg=bc,
                 remat=cfg.remat,
                 remat_frontend=cfg.remat_frontend,
+                remat_decoder=cfg.remat_decoder,
                 dtype=self.dtype,
             )
         if "IMAGE" in mods:
@@ -128,7 +129,16 @@ class Data2VecMulti(nn.Module):
             )
         if cfg.shared_decoder is not None:
             d = cfg.shared_decoder
-            self.shared_decoder = Decoder1d(
+            # remat_decoder: the decoder runs grouped convs at FULL length on
+            # every clone row; recomputing it in the backward frees ~1 GB of
+            # residuals for ~5 ms (pure function of its input — no rng/static
+            # args, so nn.remat is a drop-in with identical param paths)
+            dec_cls = (
+                nn.remat(Decoder1d, prevent_cse=False)
+                if cfg.remat and cfg.remat_decoder
+                else Decoder1d
+            )
+            self.shared_decoder = dec_cls(
                 decoder_dim=d.decoder_dim,
                 decoder_kernel=d.decoder_kernel,
                 decoder_groups=d.decoder_groups,

@@ -151,6 +151,8 @@ def main_pretrain():
         overrides.append(f"model.remat_scope={os.environ['A2V_BENCH_REMAT']}")
     if os.environ.get("A2V_BENCH_REMAT_FRONTEND"):
         overrides.append("model.remat_frontend=true")
+    if os.environ.get("A2V_BENCH_REMAT_DECODER"):
+        overrides.append("model.remat_decoder=true")
     if os.environ.get("A2V_BENCH_DECODER_PACK"):
         overrides.append(
             "model.modalities.audio.decoder.lane_pack_max="

@@ -527,3 +527,39 @@ class TestShardedStep:
             ("blocks", "block", "mlp", "fc1", "kernel"), (3, 32, 128), mesh, fsdp=True
         )
         assert spec == jax.sharding.PartitionSpec(None, "data", "model")
+
+
+class TestRematDecoder:
+    """model.remat_decoder recomputes the d2v decoder (grouped convs at
+    full length on every clone row) in the backward — numerics-neutral:
+    the decoder is a pure function of its input (no rng, no static args),
+    so grads must match the non-remat stack exactly."""
+
+    def _grads(self, remat_decoder):
+        cfg = tiny_config()
+        cfg.model.remat = True
+        cfg.model.remat_decoder = remat_decoder
+        model, state = init_pretrain(cfg, jax.random.PRNGKey(0), example_wav_len=800)
+        batch = synth_batch(np.random.default_rng(5))
+
+        def loss(p):
+            l, _ = pretrain_loss(
+                p, state.ema_params, batch, jax.random.PRNGKey(3), model, cfg
+            )
+            return l
+
+        v, g = jax.value_and_grad(loss)(state.params)
+        return float(v), g, state
+
+    def test_grads_and_params_match_no_remat(self):
+        v0, g0, s0 = self._grads(False)
+        v1, g1, s1 = self._grads(True)
+        # identical param trees (nn.remat preserves module paths)
+        assert set(tu.flatten_dict(s0.params)) == set(tu.flatten_dict(s1.params))
+        np.testing.assert_allclose(v1, v0, rtol=1e-6)
+        f0, f1 = tu.flatten_dict(g0), tu.flatten_dict(g1)
+        for k in f0:
+            np.testing.assert_allclose(
+                np.asarray(f1[k]), np.asarray(f0[k]), rtol=1e-5, atol=1e-7,
+                err_msg=str(k),
+            )
