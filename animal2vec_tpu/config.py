@@ -365,7 +365,8 @@ class ModelConfig:
     # rematerialize the d2v decoders (grouped-conv stacks run at FULL
     # sequence length on every clone row): their (B*clone, T, C) conv
     # activations are ~1 GB/step at the v5e b8 recipe but recompute in
-    # ~5 ms — freeing them is what admits batch 9+ on 16 GB chips
+    # ~5 ms — freeing them is what admits batch 9+ on 16 GB chips.
+    # Independent of `remat` (same semantics as remat_frontend).
     remat_decoder: bool = False
     # >1 pipelines the trunk over a "stage" mesh axis (parallel/pipeline.py);
     # set via distributed.pipeline_parallel, copied in by the model builders

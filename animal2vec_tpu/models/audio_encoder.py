@@ -121,7 +121,7 @@ class AudioEncoder(nn.Module):
             d = self.cfg.decoder
             dec_cls = (
                 nn.remat(Decoder1d, prevent_cse=False)
-                if self.remat and self.remat_decoder
+                if self.remat_decoder
                 else Decoder1d
             )
             self.decoder = dec_cls(

@@ -135,7 +135,7 @@ class Data2VecMulti(nn.Module):
             # args, so nn.remat is a drop-in with identical param paths)
             dec_cls = (
                 nn.remat(Decoder1d, prevent_cse=False)
-                if cfg.remat and cfg.remat_decoder
+                if cfg.remat_decoder
                 else Decoder1d
             )
             self.shared_decoder = dec_cls(

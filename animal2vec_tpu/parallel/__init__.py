@@ -10,3 +10,4 @@ from animal2vec_tpu.parallel.pipeline import (
     pick_microbatches,
     pipeline_blocks,
 )
+from animal2vec_tpu.parallel.serving import DataParallelServing

@@ -5,10 +5,18 @@ clip of a split, export per-clip likelihoods / segmented likelihoods /
 targets and layer-averaged embeddings into HDF5 groups keyed by clip index,
 with the source filename recorded.
 
+The forward is data-parallel over every visible chip by default
+(``--data-parallel N`` to restrict; see parallel/serving.py): params are
+replicated over a 1-D ("data",) mesh, each batch is laid out batch-sharded,
+and the jitted forward runs SPMD — the journey the BASELINE aggregate
+throughput target (>= 2,000 clips/s on a v5e-8) is denominated in. An
+``aggregate clips/s`` line (model forward only, excluding host-side
+segmentation) is printed at the end.
+
 Usage:
   python -m animal2vec_tpu.tools.export_cli --manifest-path dir --split valid_0 \
       --checkpoint ckpt --config finetune_100.yaml --out-path out \
-      [--export-embeddings] [--export-predictions] \
+      [--export-embeddings] [--export-predictions] [--data-parallel -1] \
       [--average-start-k-layers 0 --average-end-k-layers 16]
 """
 
@@ -16,6 +24,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import time
 
 
 def main(argv=None):
@@ -32,6 +41,11 @@ def main(argv=None):
     parser.add_argument("--average-end-k-layers", type=int, default=16)
     parser.add_argument("--method", default="avg")
     parser.add_argument("--use-softmax", action="store_true")
+    parser.add_argument(
+        "--data-parallel", type=int, default=-1,
+        help="shard each batch over this many devices (-1 = all visible); "
+        "the batch size is rounded up to a device multiple",
+    )
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
 
@@ -48,9 +62,20 @@ def main(argv=None):
     )
     from animal2vec_tpu.tools.infer_cli import load_finetuned
 
+    from animal2vec_tpu.parallel.serving import DataParallelServing
+
     cfg = load_config(args.config, ["finetune.w2v_path="] + args.overrides)
     model, variables = load_finetuned(args.checkpoint, cfg)
     os.makedirs(args.out_path, exist_ok=True)
+
+    dp = DataParallelServing(variables, n_devices=args.data_parallel)
+    variables = dp.variables
+    batch_size = dp.round_batch(args.batch_size)
+    if batch_size != args.batch_size:
+        print(
+            f"batch size {args.batch_size} -> {batch_size} "
+            f"({dp.n_devices}-device data-parallel layout)"
+        )
 
     ds = AudioLabelDataset(
         os.path.join(args.manifest_path, f"{args.split}.tsv"),
@@ -66,8 +91,9 @@ def main(argv=None):
     # max_sample_size, nn/audio_tasks.py:392-394); default 10 s
     target_len = cfg.task.max_sample_size or 10 * cfg.task.sample_rate
     loader = BatchLoader(
-        ds, target_len=target_len, batch_size=args.batch_size,
+        ds, target_len=target_len, batch_size=batch_size,
         shuffle=False, train=False, drop_last=False, num_workers=2,
+        batch_multiple=dp.n_devices,
     )
 
     @jax.jit
@@ -93,12 +119,22 @@ def main(argv=None):
     f_emb = h5py.File(emb_file, "w") if args.export_embeddings else None
 
     n_written = 0
-    for batch in loader:
-        logits, taps = forward(variables, jnp.asarray(batch["source"]))
+    n_clips_timed = 0
+    fwd_seconds = 0.0
+    for n_batch, batch in enumerate(loader):
+        t0 = time.perf_counter()
+        logits, taps = forward(variables, dp.shard(batch["source"]))
         if args.use_softmax:
             probs = np.asarray(jax.nn.softmax(logits.astype(jnp.float32), axis=-1))
         else:
             probs = np.asarray(jax.nn.sigmoid(logits.astype(jnp.float32)))
+        if n_batch > 0:  # first batch pays XLA compilation; don't count it
+            fwd_seconds += time.perf_counter() - t0
+            n_clips_timed += probs.shape[0]
+        # true item count: the loader pads the final short group by
+        # repeating items (data/dataset.py) — padded rows must not be
+        # exported (their ids duplicate real rows)
+        n_valid = int(batch.get("n_valid", probs.shape[0]))
         targets = batch["target"]
         if f_pred is not None:
             if not args.use_softmax:
@@ -116,7 +152,7 @@ def main(argv=None):
             else:
                 seg_like, seg_tar = probs.copy(), targets.copy()
             assert probs.shape == targets.shape == seg_like.shape == seg_tar.shape
-            for i, idx in enumerate(batch["id"].ravel()[: probs.shape[0]]):
+            for i, idx in enumerate(batch["id"].ravel()[:n_valid]):
                 grp = f_pred.create_group(f"{int(idx):06.0f}")
                 grp.create_dataset("fname", data=ds.names[int(idx)])
                 grp.create_dataset("likelihood", data=probs[i], dtype=np.float32)
@@ -129,7 +165,7 @@ def main(argv=None):
             sel = np.asarray(taps)[args.average_start_k_layers: args.average_end_k_layers]
             emb = sel.astype(np.float32).mean(axis=0)
             assert emb.shape[:2] == targets.shape[:2]
-            for i, idx in enumerate(batch["id"].ravel()[: emb.shape[0]]):
+            for i, idx in enumerate(batch["id"].ravel()[:n_valid]):
                 grp = f_emb.create_group(f"{int(idx):06.0f}")
                 grp.create_dataset("fname", data=ds.names[int(idx)])
                 grp.create_dataset("embedding", data=emb[i], dtype=np.float32)
@@ -138,6 +174,13 @@ def main(argv=None):
         if f is not None:
             f.close()
     print(f"exported {n_written} clips to {args.out_path}")
+    if fwd_seconds > 0:
+        print(
+            f"aggregate model throughput: "
+            f"{n_clips_timed / fwd_seconds:.1f} clips/s over "
+            f"{dp.n_devices} device(s) "
+            f"({n_clips_timed / fwd_seconds / dp.n_devices:.1f} clips/s/chip)"
+        )
 
 
 if __name__ == "__main__":

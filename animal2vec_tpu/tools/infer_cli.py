@@ -51,10 +51,17 @@ def infer_long_file(
     threshold: float | None = None,
     max_batch_size: int = 16,
     segment_length: float | None = None,
+    data_parallel: int = 1,
 ):
+    """``data_parallel``: shard each chunk batch over this many devices
+    (-1 = all visible; parallel/serving.py). The final partial batch is
+    zero-padded to a device multiple and its padded rows dropped before
+    event fusing, so results are device-count independent."""
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    from animal2vec_tpu.parallel.serving import DataParallelServing
 
     if segment_length is None:
         sr_cfg = cfg.task.sample_rate
@@ -65,6 +72,10 @@ def infer_long_file(
     from animal2vec_tpu.data.wavio import read_wav
     from animal2vec_tpu.evalx.segmentation import fuse_predict
     from animal2vec_tpu.ops.audio import chunk_and_normalize
+
+    dp = DataParallelServing(variables, n_devices=data_parallel)
+    variables = dp.variables
+    max_batch_size = dp.round_batch(max_batch_size)
 
     wav, sr = read_wav(wav_path)
     if wav.ndim > 1:
@@ -93,7 +104,8 @@ def infer_long_file(
     events = {name: [] for name in labels}
     first_bs = batches[0].shape[0]
     for bi, batch in enumerate(batches):
-        probs = np.asarray(forward(variables, jnp.asarray(batch)))
+        src, n_valid = dp.pad_and_shard(batch)
+        probs = np.asarray(forward(variables, src))[:n_valid]
         ti, ii, li = fuse_predict(
             sample_size, probs, md, sr, method=method, multiplier=bi, bs=first_bs
         )
@@ -115,6 +127,10 @@ def main(argv=None):
     parser.add_argument("--method", default="avg", choices=["avg", "max", "canny"])
     parser.add_argument("--threshold", type=float, default=None)
     parser.add_argument("--max-batch-size", type=int, default=16)
+    parser.add_argument(
+        "--data-parallel", type=int, default=1,
+        help="shard each chunk batch over this many devices (-1 = all visible)",
+    )
     parser.add_argument("--out", default="")
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
@@ -127,6 +143,7 @@ def main(argv=None):
         args.wav, model, variables, cfg,
         method=args.method, threshold=args.threshold,
         max_batch_size=args.max_batch_size,
+        data_parallel=args.data_parallel,
     )
     payload = json.dumps(events, indent=2)
     if args.out:

@@ -175,6 +175,34 @@ class TestInferCLI:
             assert 0 <= ev["onset_s"] <= ev["offset_s"] <= 10.1
             assert 0 <= ev["likelihood"] <= 1
 
+    def test_data_parallel_events_identical(self, data_root, trained_ckpt, tmp_path):
+        """--data-parallel -1 (8 virtual devices) produces byte-identical
+        event JSON to single-device at the same batch geometry. (Changing
+        --max-batch-size itself can move thresholded event BOUNDARIES by
+        <1 ms — float-level prob jitter at the crossing — which is batch-
+        size sensitivity, not a device-count effect.)"""
+        from animal2vec_tpu.tools import infer_cli
+        from animal2vec_tpu.data.wavio import read_wav, write_wav
+        from animal2vec_tpu.config import save_config
+
+        ckpt, cfg, _ = trained_ckpt
+        wav0, sr = read_wav(os.path.join(data_root, "wav/08000Hz/clip_0000.wav"))
+        wav_path = str(tmp_path / "long.wav")
+        write_wav(wav_path, np.tile(wav0, 5), sr)
+        cfg_path = str(tmp_path / "cfg.yaml")
+        save_config(cfg, cfg_path)
+        events = {}
+        for dp in (1, -1):
+            out_path = str(tmp_path / f"events_dp{dp}.json")
+            infer_cli.main([
+                "--wav", wav_path, "--checkpoint", ckpt, "--config", cfg_path,
+                "--threshold", "0.05", "--out", out_path,
+                "--max-batch-size", "8", "--data-parallel", str(dp),
+                "task.max_sample_size=8000",
+            ])
+            events[dp] = json.load(open(out_path))
+        assert events[1] == events[-1]
+
 
 class TestAotCLI:
     def test_bundle_export_and_serve(self, trained_ckpt, tmp_path):
@@ -231,6 +259,44 @@ class TestExportCLI:
         with h5py.File(os.path.join(out_dir, emb[0])) as f:
             grp = f[list(f.keys())[0]]
             assert grp["embedding"].shape[-1] == 32
+
+    def test_data_parallel_device_count_invariance(
+        self, data_root, trained_ckpt, tmp_path
+    ):
+        """--data-parallel -1 (8 virtual devices; batch 2 rounds up to 8,
+        so the 2-clip split also exercises the repeated-row padding + n_valid
+        trim) writes byte-identical predictions to --data-parallel 1."""
+        import h5py
+        import jax
+
+        from animal2vec_tpu.tools import export_cli
+        from animal2vec_tpu.config import save_config
+
+        ckpt, cfg, _ = trained_ckpt
+        cfg_path = str(tmp_path / "cfg.yaml")
+        save_config(cfg, cfg_path)
+        outs = {}
+        for dp in (1, -1):
+            out_dir = str(tmp_path / f"export_dp{dp}")
+            export_cli.main([
+                "--manifest-path", data_root, "--split", "valid_0",
+                "--checkpoint", ckpt, "--config", cfg_path,
+                "--out-path", out_dir, "--export-predictions",
+                "--batch-size", "2", "--data-parallel", str(dp),
+                "task.max_sample_size=8000",
+            ])
+            pred = [f for f in os.listdir(out_dir) if f.startswith("predictions")]
+            with h5py.File(os.path.join(out_dir, pred[0])) as f:
+                outs[dp] = {
+                    k: np.asarray(f[k]["likelihood"]) for k in f.keys()
+                }
+        assert len(jax.devices()) == 8  # conftest virtual mesh
+        assert set(outs[1]) == set(outs[-1]) and len(outs[1]) == 2
+        for k in outs[1]:
+            np.testing.assert_allclose(
+                outs[-1][k], outs[1][k], atol=2e-5, rtol=1e-5,
+                err_msg=f"clip {k} likelihood drifted under data-parallel",
+            )
 
 
 class TestPatienceAndGather:

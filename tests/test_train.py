@@ -535,10 +535,18 @@ class TestRematDecoder:
     the decoder is a pure function of its input (no rng, no static args),
     so grads must match the non-remat stack exactly."""
 
-    def _grads(self, remat_decoder):
+    def _grads(self, remat_decoder, shared_decoder=False, remat=True):
         cfg = tiny_config()
-        cfg.model.remat = True
+        cfg.model.remat = remat
         cfg.model.remat_decoder = remat_decoder
+        if shared_decoder:
+            from animal2vec_tpu.config import DecoderConfig
+
+            cfg.model.shared_decoder = DecoderConfig(
+                decoder_dim=12, decoder_groups=4, decoder_kernel=3,
+                decoder_layers=2,
+            )
+            cfg = resolve(cfg)
         model, state = init_pretrain(cfg, jax.random.PRNGKey(0), example_wav_len=800)
         batch = synth_batch(np.random.default_rng(5))
 
@@ -551,9 +559,14 @@ class TestRematDecoder:
         v, g = jax.value_and_grad(loss)(state.params)
         return float(v), g, state
 
-    def test_grads_and_params_match_no_remat(self):
-        v0, g0, s0 = self._grads(False)
-        v1, g1, s1 = self._grads(True)
+    @pytest.mark.parametrize("shared_decoder", [False, True])
+    def test_grads_and_params_match_no_remat(self, shared_decoder):
+        # shared_decoder=True covers the second remat branch in
+        # data2vec2.py (cfg.shared_decoder Decoder1d); remat=False on the
+        # remat_decoder=True side pins that remat_decoder is independent
+        # of model.remat (same semantics as remat_frontend)
+        v0, g0, s0 = self._grads(False, shared_decoder=shared_decoder)
+        v1, g1, s1 = self._grads(True, shared_decoder=shared_decoder, remat=False)
         # identical param trees (nn.remat preserves module paths)
         assert set(tu.flatten_dict(s0.params)) == set(tu.flatten_dict(s1.params))
         np.testing.assert_allclose(v1, v0, rtol=1e-6)
