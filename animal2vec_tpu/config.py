@@ -349,6 +349,12 @@ class ModelConfig:
     # attention kernel in int8 (doubles the head_dim-64 structural floor).
     # Training paths ignore this and stay bf16/fp32.
     matmul_impl: str = "bf16"
+    # "" | "int8": quantize the EMA TEACHER forward inside the pretrain
+    # step (the teacher is pure inference — deterministic, stop-gradient;
+    # nn/data2vec2.py:779-844). Serving-grade int8 there perturbs the
+    # regression targets; measured accept/reject in docs/PERF.md round-5.
+    # Student/backward always stay bf16/fp32.
+    teacher_matmul_impl: str = ""
     # rematerialize transformer blocks during training to save HBM
     remat: bool = True
     # "mlp": recompute only the MLP sub-block in the backward (attention

@@ -146,8 +146,20 @@ def pretrain_loss(
     # EMA teacher on the unmasked full sequence (nn/data2vec2.py:779-844).
     # reduce_targets streams the top-k normalized-tap sum through the
     # teacher's scan — the (depth, B, T, C) fp32 tap stack never exists.
+    teacher_model = model
+    if mcfg.teacher_matmul_impl and mcfg.teacher_matmul_impl != mcfg.matmul_impl:
+        # quantized teacher: same param tree, int8 matmul routing only for
+        # this (deterministic, stop-gradient) forward. Safe under grad:
+        # targets are stop_gradient'ed, so the int8 kernels (no vjp) are
+        # never differentiated.
+        import dataclasses as _dc
+
+        teacher_model = Data2VecMulti(
+            cfg=_dc.replace(mcfg, matmul_impl=mcfg.teacher_matmul_impl),
+            dtype=model.dtype,
+        )
     teacher_vars = {"params": merge_params(params, ema_params)}
-    _, t_acc, _, _ = model.apply(
+    _, t_acc, _, _ = teacher_model.apply(
         teacher_vars,
         jax.lax.stop_gradient(local),
         mode,

@@ -1,14 +1,16 @@
-"""Benchmark: a2v-large finetuned inference throughput (10-s clips/sec/chip).
+"""Benchmark: all three a2v-large workloads (10-s clips/sec/chip).
 
-Target (BASELINE.json): >= 2,000 clips/sec on a v5e-8 == 250 clips/sec/chip.
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The default run emits THREE JSON lines — pretrain train-step, finetune
+train-step, then the headline finetuned-inference line LAST (drivers that
+parse the final JSON line still get the BASELINE metric). Each workload
+runs in its own subprocess (A2V_BENCH_MODE=pretrain|finetune|infer) so a
+train-bench failure or HBM fragmentation cannot take down the inference
+number; a failed mode prints a JSON line with an "error" field instead.
 
-A2V_BENCH_MODE=pretrain instead measures pretrain train-step throughput
-(10-s clips/sec/chip through the full masked-prediction update incl. EMA).
-
-Note: at bf16 the inference target exceeds the chip's peak FLOPs for this
-model (~1.7 TFLOP/clip x 250 clips/s/chip > v5e's ~197 TFLOP/s), so
-vs_baseline < 1 is expected until a lower-precision path lands.
+Target (BASELINE.json): >= 2,000 clips/sec on a v5e-8 == 250 clips/sec/chip
+aggregate inference. Note: at bf16 that target exceeds the chip's peak
+FLOPs for this model (~1.7 TFLOP/clip x 250 clips/s/chip > v5e's ~197
+TFLOP/s), so vs_baseline < 1 is expected — see BASELINE.md appendix.
 """
 
 import functools
@@ -153,6 +155,9 @@ def main_pretrain():
         overrides.append("model.remat_frontend=true")
     if os.environ.get("A2V_BENCH_REMAT_DECODER"):
         overrides.append("model.remat_decoder=true")
+    if os.environ.get("A2V_BENCH_TEACHER_INT8"):
+        # quantize the EMA-teacher forward (accept/reject study, PERF.md r5)
+        overrides.append("model.teacher_matmul_impl=int8")
     if os.environ.get("A2V_BENCH_DECODER_PACK"):
         overrides.append(
             "model.modalities.audio.decoder.lane_pack_max="
@@ -296,11 +301,58 @@ def main_finetune():
     )
 
 
+def main_all():
+    """Run every workload in a subprocess; inference (headline) last."""
+    import subprocess
+
+    timeout = int(os.environ.get("A2V_BENCH_MODE_TIMEOUT", "2400"))
+    infer_ok = False
+    for mode in ("pretrain", "finetune", "infer"):
+        env = dict(os.environ, A2V_BENCH_MODE=mode)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=timeout,
+            )
+            lines = [
+                ln for ln in proc.stdout.splitlines() if ln.startswith("{")
+            ]
+            if proc.returncode == 0 and lines:
+                print(lines[-1], flush=True)
+                infer_ok = infer_ok or mode == "infer"
+            else:
+                tail = (proc.stderr or proc.stdout or "").strip().splitlines()
+                print(
+                    json.dumps(
+                        {
+                            "metric": f"a2v-large {mode}",
+                            "error": f"rc={proc.returncode}: "
+                            + " | ".join(tail[-3:])[:500],
+                        }
+                    ),
+                    flush=True,
+                )
+        except subprocess.TimeoutExpired:
+            print(
+                json.dumps(
+                    {
+                        "metric": f"a2v-large {mode}",
+                        "error": f"timeout after {timeout}s",
+                    }
+                ),
+                flush=True,
+            )
+    if not infer_ok:  # the BASELINE headline metric is non-optional
+        sys.exit(1)
+
+
 if __name__ == "__main__":
-    mode = os.environ.get("A2V_BENCH_MODE", "infer")
+    mode = os.environ.get("A2V_BENCH_MODE", "all")
     if mode == "pretrain":
         main_pretrain()
     elif mode == "finetune":
         main_finetune()
-    else:
+    elif mode == "infer":
         main()
+    else:
+        main_all()

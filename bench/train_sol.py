@@ -15,6 +15,17 @@ Pieces (env PARTS, comma-separated; default all):
   frontend — local_features (sinc + conv stack) only
   update   — optimizer apply + EMA update with fixed grads
   cost     — XLA cost_analysis of the full step (no TPU time)
+  sweep    — analytic state-sweep bytes (params/EMA/optimizer traffic)
+
+Env:
+  CFG=v5e    — use the shipped v5e recipe (a2v_large_pretrain_v5e.yaml,
+               remat_scope=attn) instead of the generic 4-GPU-shaped yaml
+  REMAT=...  — override remat scope (default: the config's)
+  COST=1     — additionally lower+compile each PART's scan program and
+               print its per-iteration cost_analysis (FLOP + GB): the
+               HBM byte decomposition per subgraph. backward-only bytes
+               = full − fwd − update (the grad streams + remat recompute
+               traffic XLA adds in the backward).
 
 Scan-chain harness, scalar fetch (remote-relay measurement rule,
 docs/PERF.md round-2 findings §4).
@@ -36,20 +47,46 @@ def build(batch):
     from animal2vec_tpu.train.build import init_pretrain
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    cfg = load_config(
-        os.path.join(here, "animal2vec_tpu/configs/a2v_large_pretrain.yaml"),
-        overrides=[
-            "common.compute_dtype=bfloat16",
-            "optimization.update_freq=1",
-            "model.remat_scope=" + os.environ.get("REMAT", "block"),
-        ],
+    yaml = (
+        "a2v_large_pretrain_v5e.yaml"
+        if os.environ.get("CFG") == "v5e"
+        else "a2v_large_pretrain.yaml"
     )
+    overrides = [
+        "common.compute_dtype=bfloat16",
+        "optimization.update_freq=1",
+    ]
+    default_remat = "" if os.environ.get("CFG") == "v5e" else "block"
+    remat = os.environ.get("REMAT", default_remat)
+    if remat:
+        overrides.append("model.remat_scope=" + remat)
+    cfg = load_config(os.path.join(here, "animal2vec_tpu/configs", yaml), overrides=overrides)
     model, state = init_pretrain(
         cfg, jax.random.PRNGKey(0), example_wav_len=80_000, example_batch=1
     )
     rng_np = np.random.default_rng(0)
     src = jnp.asarray(rng_np.normal(size=(batch, 80_000)).astype(np.float32))
     return cfg, model, state, src
+
+
+def part_cost(name, g, args, iters):
+    """Per-iteration cost_analysis of a compiled scan program — the HBM
+    byte decomposition per subgraph (COST=1)."""
+    try:
+        ca = g.lower(*args).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        fl = ca.get("flops", 0.0) / iters
+        by = ca.get("bytes accessed", 0.0) / iters
+        print(
+            f"  cost[{name}]: {fl / 1e12:.2f} TFLOP, {by / 1e9:.1f} GB "
+            f"accessed / iter (HBM floor {by / 819e9 * 1e3:.0f} ms)",
+            flush=True,
+        )
+        return fl, by
+    except Exception as e:
+        print(f"  cost[{name}] unavailable: {type(e).__name__}: {e}", flush=True)
+        return 0.0, 0.0
 
 
 def chain(name, fn, *args, iters=6, clips=None):
@@ -76,6 +113,8 @@ def chain(name, fn, *args, iters=6, clips=None):
     assert np.isfinite(v1) and np.isfinite(v2), (name, v1, v2)
     extra = f"  {clips / dt:7.2f} clips/s" if clips else ""
     print(f"{name:40s} {dt * 1e3:9.2f} ms{extra}  (compile {t_compile:.0f}s)", flush=True)
+    if os.environ.get("COST") == "1":
+        part_cost(name, g, args, iters)
     return dt
 
 
@@ -120,6 +159,30 @@ def main():
                 f"  | HBM floor {t_hbm * 1e3:.0f} ms ({batch / t_hbm:.2f} clips/s)",
                 flush=True,
             )
+
+    if "sweep" in parts:
+        # analytic state-sweep traffic: bytes the optimizer/EMA update
+        # must move per step regardless of schedule — the irreducible
+        # floor of the "update" part
+        def nbytes(tree):
+            return sum(
+                x.size * x.dtype.itemsize
+                for x in jax.tree_util.tree_leaves(tree)
+                if hasattr(x, "dtype")
+            )
+
+        p = nbytes(state.params)
+        ema = nbytes(state.ema_params)
+        opt = nbytes(state.opt_state)
+        # adam: read+write m, v, master params; read grads; EMA: read
+        # student subset + read/write teacher shadow
+        traffic = 2 * (opt + p) + p + 2 * ema
+        print(
+            f"state sweep: params {p / 1e9:.2f} GB, EMA {ema / 1e9:.2f} GB, "
+            f"opt {opt / 1e9:.2f} GB -> ~{traffic / 1e9:.1f} GB/step "
+            f"({traffic / 819e9 * 1e3:.0f} ms HBM floor)",
+            flush=True,
+        )
 
     if "full" in parts:
         # donated host-loop step, exactly like bench.py pretrain mode: a
@@ -251,6 +314,8 @@ def main():
         float(np.asarray(g(state, grads)))
         dt = (time.perf_counter() - t0) / (2 * iters)
         print(f"{'optimizer + EMA update only':40s} {dt * 1e3:9.2f} ms  (compile {tc:.0f}s)", flush=True)
+        if os.environ.get("COST") == "1":
+            part_cost("update", g, (state, grads), iters)
 
 
 if __name__ == "__main__":

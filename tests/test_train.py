@@ -199,6 +199,39 @@ class TestPretrainStep:
         merged = merge_params(state.params, ema)
         assert set(tu.flatten_dict(merged)) == set(tu.flatten_dict(state.params))
 
+    def test_int8_teacher_runs_and_targets_stay_close(self, setup):
+        """model.teacher_matmul_impl=int8 quantizes only the EMA-teacher
+        forward (stop-gradient inference inside the train step). The step
+        must run under grad (the int8 kernels have no vjp — pruned by the
+        stop_gradient), and the d2v loss must stay near the fp32-teacher
+        loss: same params + same rng => the only delta is teacher
+        quantization noise in the regression targets."""
+        import dataclasses as dc
+
+        cfg, model, state = setup
+        cfg8 = resolve(dc.replace(cfg, model=dc.replace(
+            cfg.model, teacher_matmul_impl="int8")))
+        batch = synth_batch(np.random.default_rng(9))
+        loss_ref, m_ref = pretrain_loss(
+            state.params, state.ema_params, batch, jax.random.PRNGKey(4), model, cfg
+        )
+        loss8, m8 = pretrain_loss(
+            state.params, state.ema_params, batch, jax.random.PRNGKey(4), model, cfg8
+        )
+        assert np.isfinite(float(loss8))
+        rel = abs(float(loss8) - float(loss_ref)) / max(1e-6, abs(float(loss_ref)))
+        assert rel < 0.05, (float(loss8), float(loss_ref))
+        # target statistics barely move
+        tv_rel = abs(
+            float(m8["target_var"]) - float(m_ref["target_var"])
+        ) / max(1e-6, float(m_ref["target_var"]))
+        assert tv_rel < 0.05, (float(m8["target_var"]), float(m_ref["target_var"]))
+        # and a jitted train step with grads goes through
+        step_fn = jax.jit(make_pretrain_train_step(model, cfg8))
+        st, metrics = step_fn(state, synth_batch(np.random.default_rng(10), accum=1),
+                              jax.random.PRNGKey(5))
+        assert np.isfinite(float(metrics["loss"]))
+
     def test_grad_accum(self):
         cfg = tiny_config(update_freq=2)
         model, state = init_pretrain(cfg, jax.random.PRNGKey(0), example_wav_len=800)
