@@ -333,7 +333,7 @@ def _bwd_dq_kernel(
     lse_ref, delta_ref,               # (1,1,bq) f32
     pos_q_ref, pos_k_ref, mask_ref,   # (1,1,bq)/(1,1,bk)/(1,1,bk) int32
     dq_ref,                           # (1,1,bq,d)
-    dsl_ref,                          # (1,1,1,128) f32 per-(b,h) slope grad
+    dsl_ref,                          # (1,1,1,8,128) f32 per-(b,h) slope grad
     dq_scr, dsl_scr,                  # VMEM (bq,d) f32, (1,1) f32
     *, sm_scale, n_heads, n_k, block_q, block_k,
     has_sentinel, has_mask, dropout_rate,
@@ -384,7 +384,7 @@ def _bwd_dq_kernel(
     @pl.when(ki == n_k - 1)
     def _finish():
         dq_ref[0, 0] = dq_scr[...].astype(dq_ref.dtype)
-        dsl_ref[0, 0, 0] = jnp.broadcast_to(dsl_scr[0, 0], (128,))
+        dsl_ref[0, 0, 0] = jnp.broadcast_to(dsl_scr[0, 0], (8, 128))
 
 
 def _bwd_dkv_kernel(
@@ -523,12 +523,17 @@ def _pallas_backward(
             pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
             # one dsl block PER q block (indexed by qi): writing them all to
             # (bi, hi, 0, 0) would overwrite across qi and keep only the last
-            # q block's partial sum — summed over qi outside the kernel
-            pl.BlockSpec((1, 1, 1, 128), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+            # q block's partial sum — summed over qi outside the kernel.
+            # The block's trailing dims are a full (8, 128) register tile:
+            # a (..., 1, 128) block violates the TPU lowering rule that the
+            # second-to-last block dim be divisible by 8 or span the array.
+            pl.BlockSpec(
+                (1, 1, 1, 8, 128), lambda bi, hi, qi, ki: (bi, hi, qi, 0, 0)
+            ),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, h, t_pad, d), dtype),
-            jax.ShapeDtypeStruct((b, h, n_q, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, n_q, 8, 128), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, d), jnp.float32),
@@ -578,7 +583,7 @@ def _pallas_backward(
         interpret=interpret,
     )(slope_arr, seed_arr, q, k, v, do, lse_r, delta_r, pos, pos, mask)
 
-    dslopes = dsl[:, :, :, 0].sum(axis=(0, 2))  # (H,)
+    dslopes = dsl[:, :, :, 0, 0].sum(axis=(0, 2))  # (H,)
     return dq[:, :, :t], dk[:, :, :t], dv[:, :, :t], dslopes
 
 
