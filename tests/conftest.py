@@ -5,7 +5,6 @@ TPU pod (SURVEY.md §4c). Must run before jax initializes its backends.
 """
 
 import os
-import tempfile
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 # The environment routes XLA compilation through a remote TPU-tunnel compile
@@ -15,6 +14,8 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
 # persistent compilation cache: the 1-core test VM pays heavily for XLA
 # compiles; cache them across tests and sessions
+import tempfile
+
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR", os.path.join(tempfile.gettempdir(), "a2v_jax_cache")
 )
@@ -60,3 +61,29 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _free_native_executables():
+    """Drop jax's in-memory compiled-executable caches between test
+    modules. Once the suite grew past ~310 tests (round 5), the full
+    session accumulated enough XLA:CPU native state that one late native
+    compile segfaulted — deterministically at the same test, 5/5 runs,
+    110+ GB RAM free, with OR without the persistent cache (the crash
+    then lands in `backend_compile_and_load` or in
+    `deserialize_executable` respectively), while the same tests pass in
+    any smaller session and the round-4 309-test suite still passes
+    under the identical toolchain (control run, 2026-08-21). Cross-
+    module jit reuse is rare (each file builds its own models) and the
+    persistent cache covers recompiles, so this costs little and keeps
+    the session's native footprint bounded."""
+    yield
+    try:
+        import gc
+
+        import jax
+
+        jax.clear_caches()
+        gc.collect()
+    except Exception:
+        pass
