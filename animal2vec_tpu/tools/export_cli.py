@@ -175,12 +175,20 @@ def main(argv=None):
             f.close()
     print(f"exported {n_written} clips to {args.out_path}")
     if fwd_seconds > 0:
+        agg = n_clips_timed / fwd_seconds
         print(
-            f"aggregate model throughput: "
-            f"{n_clips_timed / fwd_seconds:.1f} clips/s over "
-            f"{dp.n_devices} device(s) "
-            f"({n_clips_timed / fwd_seconds / dp.n_devices:.1f} clips/s/chip)"
+            f"aggregate model throughput: {agg:.1f} clips/s over "
+            f"{dp.n_devices} device(s) ({agg / dp.n_devices:.1f} clips/s/chip)"
         )
+        import json
+
+        print(json.dumps({
+            "metric": "manifest eval aggregate throughput",
+            "clips_per_sec": round(agg, 2),
+            "devices": dp.n_devices,
+            "clips_per_sec_per_chip": round(agg / dp.n_devices, 2),
+            "clips_timed": n_clips_timed,
+        }))
 
 
 if __name__ == "__main__":

@@ -302,12 +302,15 @@ def main_finetune():
 
 
 def main_all():
-    """Run every workload in a subprocess; inference (headline) last."""
+    """Run every workload in its own subprocess. Inference (the BASELINE
+    headline) runs FIRST so its number exists even if the caller timeboxes
+    this process mid-run, and its line is re-emitted LAST so a
+    parse-the-final-JSON-line driver still records the headline metric."""
     import subprocess
 
     timeout = int(os.environ.get("A2V_BENCH_MODE_TIMEOUT", "2400"))
-    infer_ok = False
-    for mode in ("pretrain", "finetune", "infer"):
+    infer_line = None
+    for mode in ("infer", "pretrain", "finetune"):
         env = dict(os.environ, A2V_BENCH_MODE=mode)
         try:
             proc = subprocess.run(
@@ -319,7 +322,8 @@ def main_all():
             ]
             if proc.returncode == 0 and lines:
                 print(lines[-1], flush=True)
-                infer_ok = infer_ok or mode == "infer"
+                if mode == "infer":
+                    infer_line = lines[-1]
             else:
                 tail = (proc.stderr or proc.stdout or "").strip().splitlines()
                 print(
@@ -342,8 +346,9 @@ def main_all():
                 ),
                 flush=True,
             )
-    if not infer_ok:  # the BASELINE headline metric is non-optional
+    if infer_line is None:  # the BASELINE headline metric is non-optional
         sys.exit(1)
+    print(infer_line, flush=True)  # headline last for last-line parsers
 
 
 if __name__ == "__main__":
