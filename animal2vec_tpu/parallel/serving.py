@@ -40,7 +40,12 @@ class DataParallelServing:
         devices: Optional[Sequence[Any]] = None,
     ):
         devices = list(devices) if devices is not None else list(jax.devices())
-        n = len(devices) if not n_devices or n_devices < 0 else int(n_devices)
+        n = len(devices) if n_devices is None or n_devices < 0 else int(n_devices)
+        if n == 0:
+            raise ValueError(
+                "n_devices=0: pass a positive device count, or -1/None for "
+                "all visible devices"
+            )
         if n > len(devices):
             raise ValueError(
                 f"--data-parallel {n} but only {len(devices)} devices are "
@@ -55,6 +60,13 @@ class DataParallelServing:
         hold the same number of rows for an even layout)."""
         n = self.n_devices
         return max(n, -(-int(batch_size) // n) * n)
+
+    def floor_batch(self, batch_size: int) -> int:
+        """Largest device multiple <= batch_size — for user-provided batch
+        sizes that are MEMORY CAPS and must not be exceeded (still at
+        least one row per device; below n_devices it has to grow to n)."""
+        n = self.n_devices
+        return max(n, int(batch_size) // n * n)
 
     def shard(self, x) -> jax.Array:
         """Place ``x`` with its leading (batch) dim sharded over "data"."""

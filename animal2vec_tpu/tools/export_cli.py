@@ -70,11 +70,19 @@ def main(argv=None):
 
     dp = DataParallelServing(variables, n_devices=args.data_parallel)
     variables = dp.variables
-    batch_size = dp.round_batch(args.batch_size)
+    # floor, not ceil: --batch-size is a memory cap; it only grows when
+    # it is below one row per device
+    batch_size = dp.floor_batch(args.batch_size)
     if batch_size != args.batch_size:
         print(
             f"batch size {args.batch_size} -> {batch_size} "
-            f"({dp.n_devices}-device data-parallel layout)"
+            f"({dp.n_devices}-device data-parallel layout"
+            + (
+                ", minimum one row per device"
+                if batch_size > args.batch_size
+                else ""
+            )
+            + ")"
         )
 
     ds = AudioLabelDataset(
@@ -128,13 +136,14 @@ def main(argv=None):
             probs = np.asarray(jax.nn.softmax(logits.astype(jnp.float32), axis=-1))
         else:
             probs = np.asarray(jax.nn.sigmoid(logits.astype(jnp.float32)))
-        if n_batch > 0:  # first batch pays XLA compilation; don't count it
-            fwd_seconds += time.perf_counter() - t0
-            n_clips_timed += probs.shape[0]
         # true item count: the loader pads the final short group by
         # repeating items (data/dataset.py) — padded rows must not be
-        # exported (their ids duplicate real rows)
+        # exported (their ids duplicate real rows) nor counted as
+        # evaluated clips in the throughput line
         n_valid = int(batch.get("n_valid", probs.shape[0]))
+        if n_batch > 0:  # first batch pays XLA compilation; don't count it
+            fwd_seconds += time.perf_counter() - t0
+            n_clips_timed += n_valid
         targets = batch["target"]
         if f_pred is not None:
             if not args.use_softmax:
@@ -175,9 +184,13 @@ def main(argv=None):
             f.close()
     print(f"exported {n_written} clips to {args.out_path}")
     if fwd_seconds > 0:
+        # end-to-end batch rate (host->device transfer + forward + sigmoid
+        # + device->host), real clips only (padding rows excluded) — the
+        # conservative side of the BASELINE aggregate number
         agg = n_clips_timed / fwd_seconds
         print(
-            f"aggregate model throughput: {agg:.1f} clips/s over "
+            f"aggregate eval throughput (transfer+forward+sigmoid): "
+            f"{agg:.1f} clips/s over "
             f"{dp.n_devices} device(s) ({agg / dp.n_devices:.1f} clips/s/chip)"
         )
         import json

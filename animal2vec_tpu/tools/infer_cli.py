@@ -75,7 +75,9 @@ def infer_long_file(
 
     dp = DataParallelServing(variables, n_devices=data_parallel)
     variables = dp.variables
-    max_batch_size = dp.round_batch(max_batch_size)
+    # floor, not ceil: --max-batch-size is a per-host memory cap the user
+    # tuned; only the final partial batch is padded (pad_and_shard below)
+    max_batch_size = dp.floor_batch(max_batch_size)
 
     wav, sr = read_wav(wav_path)
     if wav.ndim > 1:

@@ -154,8 +154,12 @@ def pretrain_loss(
         # never differentiated.
         import dataclasses as _dc
 
+        # derive from model.cfg (NOT cfg.model): the builder may have
+        # adjusted the module's config (e.g. _with_pipeline copies
+        # pipeline_stages in, train/build.py) and the teacher must keep
+        # every such delta except the matmul routing
         teacher_model = Data2VecMulti(
-            cfg=_dc.replace(mcfg, matmul_impl=mcfg.teacher_matmul_impl),
+            cfg=_dc.replace(model.cfg, matmul_impl=mcfg.teacher_matmul_impl),
             dtype=model.dtype,
         )
     teacher_vars = {"params": merge_params(params, ema_params)}

@@ -1,11 +1,14 @@
 """Benchmark: all three a2v-large workloads (10-s clips/sec/chip).
 
-The default run emits THREE JSON lines — pretrain train-step, finetune
-train-step, then the headline finetuned-inference line LAST (drivers that
-parse the final JSON line still get the BASELINE metric). Each workload
-runs in its own subprocess (A2V_BENCH_MODE=pretrain|finetune|infer) so a
-train-bench failure or HBM fragmentation cannot take down the inference
-number; a failed mode prints a JSON line with an "error" field instead.
+The default run emits FOUR JSON lines: the headline finetuned-inference
+line FIRST (so it exists even if the caller timeboxes the run), then
+pretrain train-step, then finetune train-step, then a byte-identical
+REPEAT of the inference line LAST (drivers that parse the final JSON line
+get the BASELINE metric; collectors that sum lines should dedupe
+byte-equal lines). Each workload runs in its own subprocess
+(A2V_BENCH_MODE=pretrain|finetune|infer) so a train-bench failure or HBM
+fragmentation cannot take down the inference number; a failed mode prints
+a JSON line with an "error" field instead.
 
 Target (BASELINE.json): >= 2,000 clips/sec on a v5e-8 == 250 clips/sec/chip
 aggregate inference. Note: at bf16 that target exceeds the chip's peak

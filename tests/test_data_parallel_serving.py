@@ -48,9 +48,22 @@ class TestHelpers:
         with pytest.raises(ValueError, match="not divisible"):
             dp.shard(np.zeros((6, 3), np.float32))
 
+    def test_floor_batch(self):
+        """User batch sizes are MEMORY CAPS: floored to a device multiple,
+        never exceeded (except the one-row-per-device minimum)."""
+        dp = DataParallelServing({"w": np.zeros((2, 2))}, n_devices=4)
+        assert dp.floor_batch(12) == 12
+        assert dp.floor_batch(13) == 12
+        assert dp.floor_batch(7) == 4
+        assert dp.floor_batch(2) == 4  # minimum one row per device
+
     def test_too_many_devices(self):
         with pytest.raises(ValueError, match="visible"):
             DataParallelServing({}, n_devices=len(jax.devices()) + 1)
+
+    def test_zero_devices_rejected(self):
+        with pytest.raises(ValueError, match="n_devices=0"):
+            DataParallelServing({}, n_devices=0)
 
 
 class TestDeviceCountInvariance:
