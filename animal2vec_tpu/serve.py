@@ -23,6 +23,12 @@ Batch size is static by design: serving at a fixed (B, T) is exactly the
 one-compiled-program regime the rest of the framework enforces; callers pad
 the final partial batch (ops/audio.chunk_and_normalize already yields
 fixed 10-s windows).
+
+Multi-chip deployment: bundles are single-device by design — run one
+bundle process per chip (the standard serving topology; rows are
+independent so processes need no coordination), or use the model path's
+``--data-parallel`` (tools/export_cli.py, parallel/serving.py) to drive
+all chips from one process. Aggregate throughput math: BASELINE.md.
 """
 
 from __future__ import annotations
