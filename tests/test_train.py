@@ -382,6 +382,42 @@ class TestShardedStep:
         assert np.isfinite(float(metrics["loss"]))
         assert int(state2.step) == 1
 
+    def test_int8_teacher_keeps_pipeline_stages(self):
+        """The int8 teacher model must derive from model.cfg, not
+        cfg.model: build_pretrain_model applies _with_pipeline (copies
+        distributed.pipeline_parallel into the MODULE's config, leaving
+        cfg.model untouched), and a teacher rebuilt from cfg.model would
+        silently run unstaged on a 'stage' mesh. Asserts the configs
+        actually diverge (the trap) and that the combined
+        pp2 x teacher_matmul_impl=int8 step runs on the dp2xpp2xtp2 mesh."""
+        from animal2vec_tpu.parallel import build_mesh, param_sharding
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        cfg = tiny_config()
+        cfg.model.teacher_matmul_impl = "int8"
+        cfg.distributed = DistributedConfig(
+            data_parallel=2, model_parallel=2, pipeline_parallel=2
+        )
+        mesh = build_mesh(cfg.distributed)
+        model, state = init_pretrain(cfg, jax.random.PRNGKey(0), example_wav_len=800)
+        assert model.cfg.pipeline_stages == 2  # builder-applied delta
+        assert cfg.model.pipeline_stages == 1  # ...absent from cfg.model
+
+        shardings = param_sharding(state.params, mesh, fsdp=False)
+        params_sh = jax.tree_util.tree_map(jax.device_put, state.params, shardings)
+        state_sh = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, NamedSharding(mesh, P())), state
+        ).replace(params=params_sh)
+        step_fn = jax.jit(make_pretrain_train_step(model, cfg))
+        batch = synth_batch(np.random.default_rng(3), b=4, accum=1)
+        batch = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, NamedSharding(mesh, P(None, "data"))), batch
+        )
+        with mesh:
+            state2, metrics = step_fn(state_sh, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(metrics["loss"]))
+        assert int(state2.step) == 1
+
     def test_sharded_step_matches_unsharded(self):
         """Full pretrain step on the dp4 x tp2 mesh vs single-device: loss
         and updated params must agree. (Consistency check; the GSPMD
