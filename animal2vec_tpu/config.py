@@ -609,6 +609,18 @@ def resolve(cfg: Config) -> Config:
         ft.sample_rate = cfg.task.sample_rate
         ft.unique_labels = cfg.task.unique_labels
         ft.use_focal_loss = cfg.criterion.use_focal_loss
+    # matmul routing: fail at config time on typos (a silently-unknown
+    # value would run plain bf16 while the user believes int8 is on)
+    if m.matmul_impl not in ("bf16", "int8", "int8_attn"):
+        raise ValueError(
+            f"model.matmul_impl={m.matmul_impl!r}: expected one of "
+            "'bf16', 'int8', 'int8_attn'"
+        )
+    if m.teacher_matmul_impl not in ("", "bf16", "int8", "int8_attn"):
+        raise ValueError(
+            f"model.teacher_matmul_impl={m.teacher_matmul_impl!r}: expected "
+            "'' (follow matmul_impl), 'bf16', 'int8', or 'int8_attn'"
+        )
     pp = cfg.distributed.pipeline_parallel
     if pp > 1 and m.depth % pp != 0:
         # fail at config time: at apply time the pipelined path would only

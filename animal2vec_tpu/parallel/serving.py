@@ -20,7 +20,6 @@ from __future__ import annotations
 from typing import Any, Optional, Sequence, Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -69,8 +68,14 @@ class DataParallelServing:
         return max(n, int(batch_size) // n * n)
 
     def shard(self, x) -> jax.Array:
-        """Place ``x`` with its leading (batch) dim sharded over "data"."""
-        x = jnp.asarray(x)
+        """Place ``x`` with its leading (batch) dim sharded over "data".
+
+        Host arrays go straight to their owning devices (device_put with a
+        NamedSharding does per-shard H2D) — NOT through jnp.asarray, which
+        would stage the full batch on the default device first and then
+        scatter device-to-device, doubling transfer work per batch."""
+        if not hasattr(x, "shape"):
+            x = np.asarray(x)
         if x.shape[0] % self.n_devices:
             raise ValueError(
                 f"batch dim {x.shape[0]} is not divisible by the "

@@ -44,7 +44,8 @@ def main(argv=None):
     parser.add_argument(
         "--data-parallel", type=int, default=-1,
         help="shard each batch over this many devices (-1 = all visible); "
-        "the batch size is rounded up to a device multiple",
+        "--batch-size is treated as a memory cap and floored to a device "
+        "multiple (it grows only when below one row per device)",
     )
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)

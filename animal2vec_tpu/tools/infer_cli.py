@@ -130,8 +130,9 @@ def main(argv=None):
     parser.add_argument("--threshold", type=float, default=None)
     parser.add_argument("--max-batch-size", type=int, default=16)
     parser.add_argument(
-        "--data-parallel", type=int, default=1,
-        help="shard each chunk batch over this many devices (-1 = all visible)",
+        "--data-parallel", type=int, default=-1,
+        help="shard each chunk batch over this many devices "
+        "(default -1 = all visible; 1 = single-device)",
     )
     parser.add_argument("--out", default="")
     parser.add_argument("overrides", nargs="*")

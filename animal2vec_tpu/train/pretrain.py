@@ -162,7 +162,16 @@ def pretrain_loss(
             cfg=_dc.replace(model.cfg, matmul_impl=mcfg.teacher_matmul_impl),
             dtype=model.dtype,
         )
-    teacher_vars = {"params": merge_params(params, ema_params)}
+    # stop_gradient on the teacher VARIABLES too (not just the t_acc
+    # output): with ema_encoder_only=true the merged tree carries live
+    # student params (pos-conv/alibi), whose tangents would otherwise be
+    # traced through the teacher forward — semantically dead (t_acc is
+    # stop_gradient'ed below; the reference teacher runs under no_grad,
+    # nn/data2vec2.py:819) but fatal for the vjp-less int8 teacher
+    # kernels, which have no differentiation rule
+    teacher_vars = jax.lax.stop_gradient(
+        {"params": merge_params(params, ema_params)}
+    )
     _, t_acc, _, _ = teacher_model.apply(
         teacher_vars,
         jax.lax.stop_gradient(local),

@@ -48,8 +48,10 @@ def main():
 
     cfg8 = resolve(dc.replace(cfg, model=dc.replace(
         cfg.model, teacher_matmul_impl="int8")))
+    # derive from model.cfg, not cfg.model: keeps builder-applied deltas
+    # (e.g. pipeline_stages), matching what train/pretrain.py builds
     model8 = Data2VecMulti(
-        cfg=dc.replace(cfg.model, matmul_impl="int8"), dtype=model.dtype
+        cfg=dc.replace(model.cfg, matmul_impl="int8"), dtype=model.dtype
     )
 
     teacher_vars = {"params": merge_params(state.params, state.ema_params)}

@@ -232,6 +232,19 @@ class TestPretrainStep:
                               jax.random.PRNGKey(5))
         assert np.isfinite(float(metrics["loss"]))
 
+    def test_matmul_impl_typos_rejected_at_config_time(self):
+        """A typo'd quantization mode must fail loudly, not silently run
+        bf16 while the user believes int8 is enabled."""
+        import dataclasses as dc
+
+        cfg = tiny_config()
+        with pytest.raises(ValueError, match="matmul_impl"):
+            resolve(dc.replace(cfg, model=dc.replace(cfg.model, matmul_impl="in8")))
+        with pytest.raises(ValueError, match="teacher_matmul_impl"):
+            resolve(dc.replace(
+                cfg, model=dc.replace(cfg.model, teacher_matmul_impl="int_8")
+            ))
+
     def test_grad_accum(self):
         cfg = tiny_config(update_freq=2)
         model, state = init_pretrain(cfg, jax.random.PRNGKey(0), example_wav_len=800)
